@@ -1,0 +1,61 @@
+"""Render configuration.
+
+TPU-native replacement for the reference's compile-time constants and its
+single positional CLI argument (reference: ``src/main.cpp:199-206`` hardcodes
+1024x768, 2x2 subpixels; ``src/constants.hpp:7-10`` pins epsilon/inf/depth
+limit; scene choice is a compile-time ``#include`` swap at
+``src/main.cpp:23-25``).  Here everything is data: a frozen dataclass that is
+hashable (usable as a static jit argument) and overridable from the CLI.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Static render settings (hashable; safe to close over in jit).
+
+    Defaults mirror the reference binary: 1024x768, 2x2 subpixels, 1 sample
+    per subpixel (== 4 spp total), max depth 100, Russian roulette after
+    depth 4 (``src/main.cpp:106,202-206``, ``src/constants.hpp:10``).
+    """
+
+    width: int = 1024
+    height: int = 768
+    # Samples per subpixel cell ("samps" in src/main.cpp:206; total spp is
+    # spp * num_subpixels**2).
+    spp: int = 1
+    num_subpixels: int = 2
+    max_depth: int = 100
+    rr_depth: int = 4  # roulette kicks in when depth > rr_depth (main.cpp:130)
+    seed: int = 0
+    # Numerics ---------------------------------------------------------------
+    # Intersection epsilon (src/constants.hpp:7) and "infinity" miss sentinel
+    # (src/constants.hpp:9).
+    epsilon: float = 1e-4
+    inf: float = 1e20
+    # Execution --------------------------------------------------------------
+    # Rays processed per device invocation; the cell grid is chunked to this
+    # size.  None = whole image in one batch.
+    ray_chunk: Optional[int] = None
+    # 'while' = early-exit lax.while_loop (fast forward rendering);
+    # 'scan'  = fixed-trip lax.scan (reverse-mode differentiable).
+    loop: str = "while"
+    # Progressive checkpointing: flush accumulators every N sample batches
+    # (0 = disabled).  See utils/checkpoint.py.
+    checkpoint_every: int = 0
+
+    @property
+    def total_spp(self) -> int:
+        return self.spp * self.num_subpixels * self.num_subpixels
+
+    @property
+    def num_cells(self) -> int:
+        """Subpixel cells in the image (pixels x subpixels^2)."""
+        return self.width * self.height * self.num_subpixels * self.num_subpixels
+
+    def replace(self, **kw) -> "RenderConfig":
+        return dataclasses.replace(self, **kw)

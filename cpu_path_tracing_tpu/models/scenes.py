@@ -1,0 +1,147 @@
+"""Built-in scenes.
+
+Data-driven ports of the reference's three scene headers (which are selected
+at *compile time* by an ``#include`` swap, ``src/main.cpp:23-25``) plus the
+vendored sandbox smallpt Cornell box as a bonus:
+
+* ``simple``      <- ``src/simple_scene.hpp:14-52``
+* ``box``         <- ``src/box_scene.hpp:14-72``
+* ``box_mirror``  <- ``src/box_mirror_scene.hpp:14-72``  (the "disco sphere")
+* ``smallpt``     <- ``sandbox/main.cpp:94-123`` (scene data; camera expressed
+  through our thin-lens model with aperture 0)
+
+Every number below is transcribed scene *data* from the cited lines, stored in
+float64 and converted to the anchor-point parametrization by
+``scene_from_spheres``.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax.numpy as jnp
+
+from .camera import CameraConfig
+from .scene import DIFFUSE, SPECULAR, DIELECTRIC, Scene, register_scene, scene_from_spheres
+
+
+@register_scene("simple")
+def simple_scene(width: int, height: int, dtype=jnp.float32) -> Scene:
+    """5 spheres + sky; ``src/simple_scene.hpp:14-52``."""
+    spheres = [
+        # (radius, center, emission, albedo, material)
+        (100.0, (0.0, -100.5, -1.0), (0.0, 0.0, 0.0), (0.8, 0.8, 0.0), DIFFUSE),  # ground
+        (0.5, (1.0, 0.0, -1.0), (0.0, 0.0, 0.0), (0.999, 0.999, 0.999), SPECULAR),  # right
+        (0.5, (-1.0, 0.0, -1.0), (0.0, 0.0, 0.0), (0.999, 0.999, 0.999), DIELECTRIC),  # left
+        (0.5, (0.0, 0.0, -1.0), (0.1, 0.1, 0.9), (0.0, 0.7, 0.1), DIFFUSE),  # light center
+        (1.0, (1.0, 3.1, -1.0), (30.0, 30.0, 30.0), (0.0, 0.0, 0.0), DIFFUSE),  # light up
+    ]
+    camera = CameraConfig.make(
+        position=(-2.0, 2.0, 1.0),
+        look_at=(0.0, 0.0, -1.0),
+        aspect_ratio=width / height,
+        vertical_fov_radians=1.2,
+        aperture=0.2,
+        dtype=dtype,
+    )
+    return scene_from_spheres(spheres, camera, dtype=dtype)
+
+
+def _box_common(width, height, specular_walls: bool, dtype):
+    """Shared geometry of box / box_mirror (``src/box{,_mirror}_scene.hpp``)."""
+    big = 1e6
+    off = 0.4
+    y, z = 0.0, -1.0
+    wall_mat = SPECULAR if specular_walls else DIFFUSE
+    spheres = [
+        (big, (-big - off, y, z), (0.0, 0.0, 0.0), (0.9, 0.1, 0.2), wall_mat),  # left
+        (big, (big + off, y, z), (0.0, 0.0, 0.0), (0.3, 0.1, 0.9), wall_mat),  # right
+        (big, (0.0, 0.0, z - big), (0.0, 0.0, 0.0), (0.1, 0.7, 0.2), wall_mat),  # back
+        (big, (0.0, big + off, z), (0.0, 0.0, 0.0), (0.3, 0.7, 0.2), wall_mat),  # top
+        (big, (0.0, -big - off, z), (0.0, 0.0, 0.0), (0.9, 0.9, 0.9), wall_mat),  # bottom
+    ]
+    camera = CameraConfig.make(
+        position=(0.0, 0.0, 2.0),
+        look_at=(0.0, 0.0, z + off * 1.5),
+        aspect_ratio=width / height,
+        vertical_fov_radians=0.5 if not specular_walls else 0.75,
+        aperture=0.2,
+        dtype=dtype,
+    )
+    return spheres, camera, off, z
+
+
+@register_scene("box")
+def box_scene(width: int, height: int, dtype=jnp.float32) -> Scene:
+    """Diffuse-walled Cornell-style box; ``src/box_scene.hpp:14-72``.
+
+    Note the light sphere's albedo 1.8 > 1 (``src/box_scene.hpp:51``): per
+    reference semantics Russian roulette then only damps (never kills) paths
+    on that sphere (``src/main.cpp:128-137``).
+    """
+    spheres, camera, off, z = _box_common(width, height, specular_walls=False, dtype=dtype)
+    spheres += [
+        (off / 2, (0.0, off / 4, z - off / 2.5), (9.0, 9.0, 9.0), (1.8, 1.8, 1.8), DIFFUSE),  # light
+        (off / 2, (off / 2, -off / 2, z + off * 1.5), (0.0, 0.0, 0.0), (1.0, 1.0, 1.0), SPECULAR),  # mirror
+        (off / 2, (-off / 2, -off / 2, z + off * 1.5), (0.0, 0.0, 0.0), (1.0, 1.0, 1.0), DIELECTRIC),  # glass
+    ]
+    return scene_from_spheres(spheres, camera, dtype=dtype)
+
+
+@register_scene("box_mirror")
+def box_mirror_scene(width: int, height: int, dtype=jnp.float32) -> Scene:
+    """All-mirror box ("disco sphere"); ``src/box_mirror_scene.hpp:14-72``.
+
+    The light has emission == albedo == (1.92, 1.91, 1.9)
+    (``src/box_mirror_scene.hpp:50-51``): RR survival prob 1.92 > 1, so paths
+    hitting it are never roulette-killed, only damped by 1/1.92.
+    """
+    spheres, camera, off, z = _box_common(width, height, specular_walls=True, dtype=dtype)
+    spheres += [
+        (off / 2, (0.0, off / 4, z + off * 1.5), (1.92, 1.91, 1.9), (1.92, 1.91, 1.9), DIFFUSE),  # light
+        (off / 2, (off / 2, -off / 2, z + off), (0.0, 0.0, 0.0), (1.0, 1.0, 1.0), SPECULAR),  # mirror
+        (off / 2, (-off / 2, -off / 2, z + off), (0.0, 0.0, 0.0), (1.0, 1.0, 1.0), DIELECTRIC),  # glass
+    ]
+    return scene_from_spheres(spheres, camera, dtype=dtype)
+
+
+# Alias matching BASELINE.json's benchmark-config name for box_mirror.
+register_scene("disco_sphere")(box_mirror_scene)
+
+
+@register_scene("smallpt")
+def smallpt_scene(width: int, height: int, dtype=jnp.float32) -> Scene:
+    """The vendored original smallpt Cornell box (``sandbox/main.cpp:94-123``).
+
+    Camera: the sandbox uses an ad-hoc basis (``sandbox/main.cpp:235-237``,
+    dir (0,-0.042612,-1), 0.5135 viewport, origin pushed 140 units forward);
+    expressed here as our thin-lens config with aperture 0 and
+    vfov = 2*atan(0.5135/2), focusing 140 units along the view direction.
+    """
+    e5 = 1e5
+    spheres = [
+        (e5, (e5 + 1, 40.8, 81.6), (0, 0, 0), (0.75, 0.25, 0.25), DIFFUSE),  # left
+        (e5, (-e5 + 99, 40.8, 81.6), (0, 0, 0), (0.25, 0.25, 0.75), DIFFUSE),  # right
+        (e5, (50.0, 40.8, e5), (0, 0, 0), (0.75, 0.75, 0.75), DIFFUSE),  # back
+        (e5, (50.0, 40.8, -e5 + 170), (0, 0, 0), (0.0, 0.0, 0.0), DIFFUSE),  # front
+        (e5, (50.0, e5, 81.6), (0, 0, 0), (0.75, 0.75, 0.75), DIFFUSE),  # bottom
+        (e5, (50.0, -e5 + 81.6, 81.6), (0, 0, 0), (0.25, 0.75, 0.15), DIFFUSE),  # top
+        (16.5, (27.0, 16.5, 47.0), (0, 0, 0), (0.999, 0.999, 0.999), SPECULAR),  # mirror
+        (16.5, (65.0, 16.5, 37.0), (0, 0, 0), (0.6, 0.1, 0.6), SPECULAR),  # purple mirror
+        (16.5, (45.0, 46.5, 50.0), (22, 22, 22), (0.0, 0.0, 0.0), DIFFUSE),  # light
+        (16.5, (73.0, 16.5, 78.0), (0, 0, 0), (0.999, 0.999, 0.999), DIELECTRIC),  # glass
+    ]
+    pos = (50.0, 52.0, 295.6)
+    d = (0.0, -0.042612, -1.0)
+    dn = math.sqrt(sum(x * x for x in d))
+    focus = 140.0
+    look_at = tuple(p + focus * (x / dn) for p, x in zip(pos, d))
+    camera = CameraConfig.make(
+        position=pos,
+        look_at=look_at,
+        aspect_ratio=width / height,
+        vertical_fov_radians=2.0 * math.atan(0.5135 / 2.0),
+        aperture=0.0,
+        dtype=dtype,
+    )
+    return scene_from_spheres(spheres, camera, anchor_toward=(50.0, 40.8, 81.6), dtype=dtype)

@@ -1,0 +1,104 @@
+"""Batched ray-sphere intersection.
+
+TPU-native replacement for the reference's per-ray linear scan
+(``intersect`` at ``src/main.cpp:30-42`` calling ``pt::sphere::intersect``,
+``src/sphere.cpp:6-30``): one broadcast [B, N] quadratic solve plus a masked
+argmin.  N is tiny (5-10 spheres; the reference has no BVH, ``README.md:8``),
+so all-pairs is both exact and the fastest possible layout on the VPU.
+
+Numerics (differences from the reference, deliberate):
+
+* anchor-point parametrization (see ``models/scene.py``) removes the f32
+  catastrophic cancellation of ``oc.oc - r^2`` for r=1e6 wall spheres;
+* the stable "q" quadratic form is used: with ``q = -(b + sign(b) sqrt(disc))``
+  the two roots are ``q/a`` and ``c/q`` — no subtractive cancellation in the
+  near root, unlike the reference's ``(-b - sqrtd)/a`` (``src/sphere.cpp:20``)
+  which loses all f32 precision when ``b ~ 1e6``.
+
+Root-selection semantics match the reference exactly: nearest root ``>=
+epsilon``, else the far root, else miss (``src/sphere.cpp:19-28``); ties across
+spheres keep the lowest index (``src/main.cpp:34-39`` strict ``d < t`` forward
+scan == first-occurrence argmin).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..models.scene import Scene
+
+
+def intersect_scene(scene: Scene, origins, directions, epsilon=1e-4, inf=1e20):
+    """Intersect a ray batch against every sphere.
+
+    Args:
+      origins: [B,3]; directions: [B,3] (need not be normalized — the
+        reference's primary rays are not, ``src/camera.cpp:36-37``, and the
+        general quadratic with ``a = d.d`` handles it, ``src/sphere.cpp:9``).
+
+    Returns:
+      t:      [B] distance to nearest hit (== inf on miss)
+      hit_id: [B] int32 index of the nearest sphere (first index on ties)
+      hit:    [B] bool
+    """
+    p0 = scene.p0  # [N,3]
+    r = scene.radius  # [N]
+    ad = jax.lax.stop_gradient(scene.anchor_dir)  # constant buffer [N,3]
+
+    q = origins[:, None, :] - p0[None, :, :]  # [B,N,3] unit scale
+    a = jnp.sum(directions * directions, axis=-1)  # [B]
+    qd = jnp.einsum("bnc,bc->bn", q, directions)  # [B,N]
+    add = jnp.einsum("nc,bc->bn", ad, directions)  # [B,N]
+    b = qd + r[None, :] * add  # oc.d
+    qq = jnp.sum(q * q, axis=-1)  # [B,N]
+    qad = jnp.einsum("bnc,nc->bn", q, ad)  # [B,N]
+    c = qq + 2.0 * r[None, :] * qad  # oc.oc - r^2, cancellation-free
+
+    disc = b * b - a[:, None] * c
+    has_root = disc >= 0.0
+    sqrtd = jnp.sqrt(jnp.where(has_root, disc, 1.0))  # grad-safe sqrt
+
+    sign_b = jnp.where(b >= 0.0, 1.0, -1.0)
+    qform = -(b + sign_b * sqrtd)
+    qform_safe = jnp.where(qform != 0.0, qform, 1.0)
+    root_1 = qform / a[:, None]
+    root_2 = jnp.where(qform != 0.0, c / qform_safe, jnp.inf)
+    t_near = jnp.minimum(root_1, root_2)
+    t_far = jnp.maximum(root_1, root_2)
+
+    # src/sphere.cpp:19-28: near root if >= epsilon, else far root, else miss.
+    root = jnp.where(t_near >= epsilon, t_near, jnp.where(t_far >= epsilon, t_far, inf))
+    root = jnp.where(has_root, root, inf)
+
+    t = jnp.min(root, axis=-1)
+    hit_id = jnp.argmin(root, axis=-1).astype(jnp.int32)
+    hit = t < inf
+    return t, hit_id, hit
+
+
+def hit_record(scene: Scene, origins, directions, t, hit_id):
+    """Batched ``pt::get_hit_record_at`` (``src/hit_record.cpp:3-12``).
+
+    Returns (hit_point [B,3], outward_normal [B,3], normal [B,3], front [B]).
+    ``normal`` is the front-facing normal; ``outward_normal`` always points
+    away from the sphere center.  The caller must have replaced miss-lane ``t``
+    with a finite dummy (grad safety).
+    """
+    p0_h = scene.p0[hit_id]  # [B,3]
+    r_h = scene.radius[hit_id]  # [B]
+    ad_h = jax.lax.stop_gradient(scene.anchor_dir)[hit_id]  # [B,3]
+
+    hp = origins + t[:, None] * directions
+    # (hp - center)/r = anchor_dir + (hp - p0)/r: unit-scale arithmetic only.
+    n_raw = ad_h + (hp - p0_h) / r_h[:, None]
+    n_out = _normalize(n_raw)
+    front = jnp.sum(n_out * directions, axis=-1) < 0.0
+    normal = jnp.where(front[:, None], n_out, -n_out)
+    return hp, n_out, normal, front
+
+
+def _normalize(v):
+    sq = jnp.sum(v * v, axis=-1, keepdims=True)
+    sq = jnp.where(sq > 0, sq, 1.0)
+    return v * jax.lax.rsqrt(sq)

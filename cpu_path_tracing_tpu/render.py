@@ -1,0 +1,113 @@
+"""High-level rendering pipeline.
+
+TPU-native replacement for the reference's driver loop
+(``main``/``render_subpixel``, ``src/main.cpp:160-248``): instead of one
+Taskflow task per image row with a sequential per-row RNG
+(``src/main.cpp:214-236``), the image is a flat array of *subpixel cells*
+(pixel x 2x2 subpixels), rays for all cells advance together, and samples
+accumulate in a device-resident ``fori_loop``.  Determinism is total: the
+image is a pure function of (scene, config, seed), independent of chunking or
+device mesh (ops/rng.py).
+
+Layout: cell = (y*W + x) * ns^2 + sy*ns + sx, with y=0 the *bottom* image row
+(the reference's vertical flip ``row = (h-y-1)*w + x``, ``src/main.cpp:181``,
+happens at image assembly).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .config import RenderConfig
+from .models.camera import build_camera, get_rays
+from .models.scene import Scene
+from .ops import rng as rng_ops
+from .ops.integrator import radiance
+
+
+def decode_cells(cell_ids, cfg: RenderConfig):
+    """cell id -> (x, y, sx, sy) int32 arrays."""
+    ns = cfg.num_subpixels
+    sub = cell_ids % (ns * ns)
+    pix = cell_ids // (ns * ns)
+    sx = sub % ns
+    sy = sub // ns
+    x = pix % cfg.width
+    y = pix // cfg.width
+    return x, y, sx, sy
+
+
+def camera_rays(scene: Scene, cfg: RenderConfig, cell_ids, sample_idx, root_key, dtype):
+    """Generate one jittered thin-lens ray per cell for sample ``sample_idx``.
+
+    Mirrors ``render_subpixel``'s jitter (uniform within the subpixel cell,
+    ``src/main.cpp:186-190``) + ``camera::get_ray`` (``src/camera.cpp:32-38``).
+    Returns (keys [B], origins [B,3], dirs [B,3]).
+    """
+    ns = cfg.num_subpixels
+    x, y, sx, sy = decode_cells(cell_ids, cfg)
+    keys = rng_ops.sample_keys(root_key, cell_ids, sample_idx)
+    u = rng_ops.camera_uniforms(keys).astype(dtype)
+
+    sub_len = 1.0 / ns
+    x_in = x.astype(dtype) + sx.astype(dtype) * sub_len + u[:, 0] * sub_len
+    y_in = y.astype(dtype) + sy.astype(dtype) * sub_len + u[:, 1] * sub_len
+    s = x_in / cfg.width
+    t = y_in / cfg.height
+
+    cam = build_camera(scene.camera)
+    origins, dirs = get_rays(cam, s, t, u[:, 2], u[:, 3])
+    return keys, origins, dirs
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def render_cells(scene: Scene, cfg: RenderConfig, cell_ids) -> jax.Array:
+    """Mean radiance over cfg.spp samples for each cell.  [B,3], un-clamped."""
+    dtype = scene.p0.dtype
+    root_key = rng_ops.base_key(cfg.seed)
+
+    def one_sample(sample_idx):
+        keys, o, d = camera_rays(scene, cfg, cell_ids, sample_idx, root_key, dtype)
+        return radiance(
+            scene, o, d, keys,
+            max_depth=cfg.max_depth, rr_depth=cfg.rr_depth,
+            epsilon=cfg.epsilon, inf=cfg.inf, loop=cfg.loop,
+        )
+
+    def body(s, acc):
+        return acc + one_sample(s)
+
+    acc = jax.lax.fori_loop(0, cfg.spp, body, jnp.zeros((cell_ids.shape[0], 3), dtype))
+    return acc / cfg.spp
+
+
+def finalize_image(cell_means: jax.Array, cfg: RenderConfig) -> jax.Array:
+    """Cell means [num_cells,3] -> linear image [H,W,3] (top row first).
+
+    Per-subpixel clamp to [0,1] *before* averaging the ns^2 subpixels — the
+    reference's (smallpt-inherited) bright-pixel bias, ``src/main.cpp:195-196``
+    (SURVEY.md fidelity #2).
+    """
+    ns2 = cfg.num_subpixels * cfg.num_subpixels
+    c = jnp.clip(cell_means, 0.0, 1.0)
+    pixels = c.reshape(cfg.height, cfg.width, ns2, 3).mean(axis=2)
+    return pixels[::-1]  # y=0 is the bottom row; files are top-to-bottom
+
+
+def render_image(scene: Scene, cfg: RenderConfig) -> jax.Array:
+    """Render the full image.  Returns linear-radiance [H,W,3] float array."""
+    n = cfg.num_cells
+    chunk = cfg.ray_chunk or n
+    # Keep whole pixels inside one chunk so finalize can reduce subpixels.
+    ns2 = cfg.num_subpixels * cfg.num_subpixels
+    chunk = max(ns2, chunk - chunk % ns2)
+
+    outs = []
+    for start in range(0, n, chunk):
+        ids = jnp.arange(start, min(start + chunk, n), dtype=jnp.int32)
+        outs.append(render_cells(scene, cfg, ids))
+    cell_means = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+    return finalize_image(cell_means, cfg)
