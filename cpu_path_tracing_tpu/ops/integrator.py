@@ -53,15 +53,17 @@ class RayState(NamedTuple):
 
 
 def init_state(origins, directions) -> RayState:
-    B = origins.shape[0]
-    dt = origins.dtype
+    # Initializers are derived from `origins` (not fresh constants) so that
+    # under shard_map the whole carry is "varying" over the mesh axes — JAX
+    # 0.9 rejects while_loop carries that mix varying and unvarying parts.
+    zero = origins * 0.0
     return RayState(
         origin=origins,
         direction=directions,
-        throughput=jnp.ones((B, 3), dt),
-        emission=jnp.zeros((B, 3), dt),
-        alive=jnp.ones((B,), bool),
-        result=jnp.zeros((B, 3), dt),
+        throughput=zero + 1.0,
+        emission=zero,
+        alive=zero[:, 0] == 0.0,
+        result=zero,
     )
 
 
@@ -117,39 +119,49 @@ def bounce_step(scene: Scene, state: RayState, uniforms, depth, *, rr_depth, eps
 
 
 def radiance(scene: Scene, origins, directions, keys, *, max_depth=100, rr_depth=4,
-             epsilon=1e-4, inf=1e20, loop="while"):
+             epsilon=1e-4, inf=1e20, loop="while", with_stats=False):
     """Estimate radiance for a ray batch.
 
     Args:
       keys: [B] per-sample threefry keys (ops/rng.py layout).
       loop: 'while' (early-exit; forward only) or 'scan' (differentiable).
-    Returns: [B,3] radiance.
+      with_stats: also return {'segments': total rays traced (sum over
+        bounces of live lanes), 'depth': iterations executed} — the
+        observability counters of SURVEY.md §5.5.
+    Returns: [B,3] radiance (and the stats dict if requested).
     """
     state0 = init_state(origins, directions)
     kw = dict(rr_depth=rr_depth, epsilon=epsilon, inf=inf)
 
     if loop == "while":
         def cond(carry):
-            depth, st = carry
+            depth, st, _ = carry
             return (depth < max_depth) & jnp.any(st.alive)
 
         def body(carry):
-            depth, st = carry
+            depth, st, nseg = carry
             u = rng_ops.bounce_uniforms(keys, depth).astype(origins.dtype)
-            return depth + 1, bounce_step(scene, st, u, depth, **kw)
+            nseg = nseg + jnp.sum(st.alive, dtype=jnp.int32)
+            return depth + 1, bounce_step(scene, st, u, depth, **kw), nseg
 
-        _, state = jax.lax.while_loop(cond, body, (jnp.int32(0), state0))
+        nseg0 = jnp.sum(state0.alive, dtype=jnp.int32) * 0  # varying zero
+        depth, state, nseg = jax.lax.while_loop(cond, body, (jnp.int32(0), state0, nseg0))
     elif loop == "scan":
         def body(st, depth):
             u = rng_ops.bounce_uniforms(keys, depth).astype(origins.dtype)
-            return bounce_step(scene, st, u, depth, **kw), None
+            return bounce_step(scene, st, u, depth, **kw), jnp.sum(st.alive, dtype=jnp.int32)
 
-        state, _ = jax.lax.scan(body, state0, jnp.arange(max_depth, dtype=jnp.int32))
+        state, counts = jax.lax.scan(body, state0, jnp.arange(max_depth, dtype=jnp.int32))
+        nseg = jnp.sum(counts)
+        depth = jnp.int32(max_depth)
     else:
         raise ValueError(f"unknown loop mode {loop!r}")
 
     # Depth-limit exhaustion returns accumulated emission (src/main.cpp:157).
-    return jnp.where(state.alive[:, None], state.emission, state.result)
+    out = jnp.where(state.alive[:, None], state.emission, state.result)
+    if with_stats:
+        return out, {"segments": nseg, "depth": depth}
+    return out
 
 
 def _normalize(v):

@@ -63,9 +63,13 @@ def camera_rays(scene: Scene, cfg: RenderConfig, cell_ids, sample_idx, root_key,
     return keys, origins, dirs
 
 
-@partial(jax.jit, static_argnames=("cfg",))
-def render_cells(scene: Scene, cfg: RenderConfig, cell_ids) -> jax.Array:
-    """Mean radiance over cfg.spp samples for each cell.  [B,3], un-clamped."""
+def render_cells_range(scene: Scene, cfg: RenderConfig, cell_ids, sample_start, num_samples: int) -> jax.Array:
+    """SUM of radiance over samples [sample_start, sample_start+num_samples).
+
+    The building block for sample-sharded and progressive rendering: because
+    keys depend only on (seed, cell, sample), any partition of the sample
+    range sums to the identical total.  [B,3], un-clamped, un-normalized.
+    """
     dtype = scene.p0.dtype
     root_key = rng_ops.base_key(cfg.seed)
 
@@ -77,11 +81,19 @@ def render_cells(scene: Scene, cfg: RenderConfig, cell_ids) -> jax.Array:
             epsilon=cfg.epsilon, inf=cfg.inf, loop=cfg.loop,
         )
 
-    def body(s, acc):
-        return acc + one_sample(s)
+    def body(i, acc):
+        return acc + one_sample(sample_start + i)
 
-    acc = jax.lax.fori_loop(0, cfg.spp, body, jnp.zeros((cell_ids.shape[0], 3), dtype))
-    return acc / cfg.spp
+    # Accumulator derived from cell_ids (not a fresh constant) so the carry
+    # is mesh-varying under shard_map (cf. ops/integrator.py init_state).
+    acc0 = (cell_ids[:, None] * 0).astype(dtype) + jnp.zeros((1, 3), dtype)
+    return jax.lax.fori_loop(0, num_samples, body, acc0, unroll=False)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def render_cells(scene: Scene, cfg: RenderConfig, cell_ids) -> jax.Array:
+    """Mean radiance over cfg.spp samples for each cell.  [B,3], un-clamped."""
+    return render_cells_range(scene, cfg, cell_ids, 0, cfg.spp) / cfg.spp
 
 
 def finalize_image(cell_means: jax.Array, cfg: RenderConfig) -> jax.Array:

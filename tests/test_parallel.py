@@ -1,0 +1,67 @@
+"""Sharding tests on the 8-virtual-device CPU mesh (SURVEY.md §4e)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cpu_path_tracing_tpu import RenderConfig, get_scene, render_image
+from cpu_path_tracing_tpu.parallel.mesh import make_mesh
+from cpu_path_tracing_tpu.parallel.render import render_image_sharded
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+
+KW = dict(width=32, height=24, spp=4, max_depth=16)
+
+
+def _single(name):
+    return np.asarray(render_image(get_scene(name, KW["width"], KW["height"]), RenderConfig(**KW)))
+
+
+def test_mesh_shapes():
+    m = make_mesh()
+    assert m.shape == {"tiles": 8, "samples": 1}
+    m2 = make_mesh(n_tiles=4, n_samples=2)
+    assert m2.shape == {"tiles": 4, "samples": 2}
+    with pytest.raises(ValueError):
+        make_mesh(n_tiles=3, n_samples=3)
+
+
+def test_tile_sharded_matches_single_device():
+    """8-way cell sharding must be bit-identical to the single-device render
+    (keys depend only on (seed, cell, sample))."""
+    cfg = RenderConfig(**KW)
+    scene = get_scene("box", cfg.width, cfg.height)
+    img_s = np.asarray(render_image_sharded(scene, cfg, make_mesh(n_tiles=8)))
+    np.testing.assert_array_equal(img_s, _single("box"))
+
+
+def test_sample_sharded_matches_single_device():
+    """4x2 tilesxsamples mesh: sample-axis psum reorders the f32 sum, so
+    allow one-ulp-scale differences but nothing more."""
+    cfg = RenderConfig(**KW)
+    scene = get_scene("box", cfg.width, cfg.height)
+    img_s = np.asarray(render_image_sharded(scene, cfg, make_mesh(n_tiles=4, n_samples=2)))
+    np.testing.assert_allclose(img_s, _single("box"), atol=1e-6)
+
+
+def test_mesh_shape_invariance():
+    """2x4 and 8x1 meshes agree (determinism across mesh shapes)."""
+    cfg = RenderConfig(**KW)
+    scene = get_scene("box_mirror", cfg.width, cfg.height)
+    a = np.asarray(render_image_sharded(scene, cfg, make_mesh(n_tiles=8, n_samples=1)))
+    b = np.asarray(render_image_sharded(scene, cfg, make_mesh(n_tiles=2, n_samples=4)))
+    np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def test_spp_not_divisible_raises():
+    cfg = RenderConfig(width=8, height=8, spp=3)
+    scene = get_scene("box", 8, 8)
+    with pytest.raises(ValueError):
+        render_image_sharded(scene, cfg, make_mesh(n_tiles=4, n_samples=2))
+
+
+def test_dryrun_multichip_entrypoint():
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(8)

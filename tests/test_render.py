@@ -1,0 +1,81 @@
+"""End-to-end render tests: determinism and f32-vs-f64 oracle parity.
+
+The parity oracle is this framework's own float64 CPU rendering of the same
+algorithm with the same threefry draws (SURVEY.md §4c — the C++ binary is
+non-deterministic, src/random_state.cpp:5, so it cannot be a golden oracle).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cpu_path_tracing_tpu import RenderConfig, get_scene, render_image
+
+
+def _render(name, dtype, **kw):
+    cfg = RenderConfig(**kw)
+    scene = get_scene(name, kw["width"], kw["height"], dtype=dtype)
+    return np.asarray(render_image(scene, cfg))
+
+
+BASE = dict(width=48, height=36, spp=4, max_depth=32)
+
+
+def test_same_seed_bitwise_identical():
+    a = _render("box", jnp.float32, **BASE)
+    b = _render("box", jnp.float32, **BASE)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_different_seed_differs():
+    a = _render("box", jnp.float32, **BASE)
+    b = _render("box", jnp.float32, seed=1, **BASE)
+    assert np.abs(a - b).max() > 1e-4
+
+
+def test_chunked_matches_oneshot():
+    a = _render("box", jnp.float32, **BASE)
+    b = _render("box", jnp.float32, ray_chunk=500, **BASE)
+    np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.parametrize("name", ["simple", "box", "box_mirror"])
+def test_f32_matches_f64_oracle(name):
+    """f32 production render vs f64 oracle, identical draw streams.
+
+    Pixels whose paths flip a discrete branch under fp rounding can differ
+    arbitrarily; those are rare.  Check the bulk: >=97% of pixels within 2e-2
+    and mean abs diff < 4e-3.
+    """
+    kw = dict(width=40, height=30, spp=4, max_depth=24)
+    a32 = _render(name, jnp.float32, **kw)
+    a64 = _render(name, jnp.float64, **kw)
+    diff = np.abs(a32 - a64)
+    frac_close = (diff < 2e-2).mean()
+    assert frac_close >= 0.97, (name, frac_close, diff.mean())
+    assert diff.mean() < 4e-3, (name, diff.mean())
+
+
+def test_image_orientation_simple_scene():
+    """Sky is up: in the simple scene the top image rows are sky-blue-ish
+    (blue channel > red), the bottom rows are the yellow ground (red+green >>
+    blue).  Guards the vertical flip (src/main.cpp:181)."""
+    img = _render("simple", jnp.float32, width=32, height=24, spp=2, max_depth=8)
+    top = img[:4].mean(axis=(0, 1))
+    bottom = img[-4:].mean(axis=(0, 1))
+    assert top[2] > top[0]  # blue-ish sky
+    assert bottom[0] > bottom[2] and bottom[1] > bottom[2]  # yellow ground
+
+
+def test_subpixel_clamp_before_average():
+    """Cell means > 1 must clamp per subpixel before the 2x2 average
+    (src/main.cpp:195-196)."""
+    from cpu_path_tracing_tpu import finalize_image
+
+    cfg = RenderConfig(width=1, height=1, spp=1)
+    cells = jnp.array(
+        [[5.0, 0.5, 0.0], [0.0, 0.5, 0.0], [0.0, 0.5, 0.0], [0.0, 0.5, 0.0]]
+    )
+    img = np.asarray(finalize_image(cells, cfg))
+    # red: clamp(5)=1 then mean(1,0,0,0) = 0.25 (unclamped mean would be 1.25)
+    np.testing.assert_allclose(img[0, 0], [0.25, 0.5, 0.0], atol=1e-7)
