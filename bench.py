@@ -6,7 +6,8 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 "Rays" counts traced path segments (live lanes summed over bounce
 iterations), not just camera rays — the honest denominator for a path
-tracer's throughput.
+tracer's throughput.  The render is the persistent wavefront integrator
+(ops/wavefront.py), the production forward path.
 """
 
 from __future__ import annotations
@@ -18,55 +19,30 @@ import jax
 import jax.numpy as jnp
 
 import cpu_path_tracing_tpu as pt
-from cpu_path_tracing_tpu.ops.integrator import radiance
-from cpu_path_tracing_tpu.render import camera_rays
-from cpu_path_tracing_tpu.ops import rng as rng_ops
+from cpu_path_tracing_tpu.ops.wavefront import render_wavefront
 
 BASELINE_MRAYS = 100.0
 
 
-def bench_disco(width=1024, height=768, spp=8, chunk_cells=None, repeats=3):
-    cfg = pt.RenderConfig(width=width, height=height, spp=spp, max_depth=100)
+def bench_disco(width=1024, height=768, spp=8, lanes=1 << 19, repeats=2):
+    cfg = pt.RenderConfig(width=width, height=height, spp=spp, max_depth=100,
+                          wavefront_lanes=lanes)
     scene = pt.get_scene("box_mirror", width, height)
-    n = cfg.num_cells
-    chunk = chunk_cells or n
+    ids = jnp.arange(cfg.num_cells, dtype=jnp.int32)
 
-    @jax.jit
-    def run_chunk(scene, ids, sample_idx):
-        root = rng_ops.base_key(cfg.seed)
-        keys, o, d = camera_rays(scene, cfg, ids, sample_idx, root, scene.p0.dtype)
-        out, stats = radiance(
-            scene, o, d, keys, max_depth=cfg.max_depth, rr_depth=cfg.rr_depth,
-            epsilon=cfg.epsilon, inf=cfg.inf, loop="while", with_stats=True,
-        )
-        return jnp.sum(out, axis=0), stats["segments"]
+    f = jax.jit(lambda s, i: render_wavefront(s, cfg, i, 0, cfg.spp, with_stats=True))
+    out, stats = f(scene, ids)
+    jax.block_until_ready(out)  # compile + warm
 
-    chunks = [jnp.arange(s, min(s + chunk, n), dtype=jnp.int32) for s in range(0, n, chunk)]
-
-    def full_pass():
-        total_segments = 0
-        acc = None
-        for s in range(cfg.spp):
-            for ids in chunks:
-                out, seg = run_chunk(scene, ids, s)
-                acc = out if acc is None else acc + out
-                total_segments += int(seg)
-        jax.block_until_ready(acc)
-        return total_segments
-
-    # Warmup / compile.
-    _ = full_pass()
-
-    best = None
-    segments = 0
+    best, segments = None, 0
     for _ in range(repeats):
         t0 = time.perf_counter()
-        segments = full_pass()
+        out, stats = f(scene, ids)
+        segments = int(stats["segments"])
+        jax.block_until_ready(out)
         dt = time.perf_counter() - t0
         best = dt if best is None else min(best, dt)
-
-    mrays = segments / best / 1e6
-    return mrays, segments, best
+    return segments / best / 1e6, segments, best
 
 
 def main():

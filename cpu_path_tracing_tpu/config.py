@@ -44,6 +44,12 @@ class RenderConfig:
     # 'while' = early-exit lax.while_loop (fast forward rendering);
     # 'scan'  = fixed-trip lax.scan (reverse-mode differentiable).
     loop: str = "while"
+    # 'wavefront' = persistent integrator with ray regeneration (fast forward
+    # path; see ops/wavefront.py); 'batch' = one launch per sample batch
+    # (required for reverse-mode gradients, i.e. loop='scan').
+    integrator: str = "wavefront"
+    # Lane-pool width for the wavefront integrator.
+    wavefront_lanes: int = 1 << 19
     # Progressive checkpointing: flush accumulators every N sample batches
     # (0 = disabled).  See utils/checkpoint.py.
     checkpoint_every: int = 0

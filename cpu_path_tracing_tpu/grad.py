@@ -44,7 +44,9 @@ def merge_params(scene: Scene, params: Dict[str, Any]) -> Scene:
 
 
 def _diff_cfg(cfg: RenderConfig) -> RenderConfig:
-    return cfg if cfg.loop == "scan" else cfg.replace(loop="scan")
+    if cfg.loop == "scan" and cfg.integrator == "batch":
+        return cfg
+    return cfg.replace(loop="scan", integrator="batch")
 
 
 def cell_loss(params, scene: Scene, cfg: RenderConfig, cell_ids, target_cells,

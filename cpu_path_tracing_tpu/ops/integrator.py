@@ -36,7 +36,7 @@ import jax.numpy as jnp
 
 from ..models.scene import Scene
 from . import rng as rng_ops
-from .intersect import intersect_scene, hit_record
+from .intersect import intersect_scene, hit_record, sphere_props
 from .materials import scatter
 
 _WHITE = (1.0, 1.0, 1.0)
@@ -82,12 +82,12 @@ def bounce_step(scene: Scene, state: RayState, uniforms, depth, *, rr_depth, eps
     die_miss = alive & ~hit
     result = jnp.where(die_miss[:, None], emit + thr * sky, result)
 
-    # ---- hit record (grad-safe t for miss lanes) ----
+    # ---- hit record (grad-safe t for miss lanes; one-hot matmul gather) ----
     t_safe = jnp.where(hit, t, 1.0)
-    hp, n_out, normal, front = hit_record(scene, o, d, t_safe, hid)
-    em_h = scene.emission[hid]  # [B,3]
-    al_h = scene.albedo[hid]  # [B,3]
-    mat_h = scene.material[hid]  # [B]
+    props = sphere_props(scene, hid)
+    hp, n_out, normal, front = hit_record(scene, o, d, t_safe, hid, props)
+    em_h = props.emission  # [B,3]
+    al_h = props.albedo  # [B,3]
 
     emit_new = emit + thr * em_h  # src/main.cpp:126 (before RR)
 
@@ -104,7 +104,7 @@ def bounce_step(scene: Scene, state: RayState, uniforms, depth, *, rr_depth, eps
     thr_new = thr * color  # src/main.cpp:139
 
     # ---- scatter (src/main.cpp:141-154) ----
-    d_new = scatter(mat_h, d, n_out, normal, front, u_a, u_b, u_c)
+    d_new = scatter(props.mat_mask, d, n_out, normal, front, u_a, u_b, u_c)
 
     cont = alive & hit & ~killed
     cm = cont[:, None]
@@ -123,7 +123,7 @@ def radiance(scene: Scene, origins, directions, keys, *, max_depth=100, rr_depth
     """Estimate radiance for a ray batch.
 
     Args:
-      keys: [B] per-sample threefry keys (ops/rng.py layout).
+      keys: ([B],[B]) uint32 per-sample threefry key pair (ops/rng.py layout).
       loop: 'while' (early-exit; forward only) or 'scan' (differentiable).
       with_stats: also return {'segments': total rays traced (sum over
         bounces of live lanes), 'depth': iterations executed} — the
@@ -140,7 +140,7 @@ def radiance(scene: Scene, origins, directions, keys, *, max_depth=100, rr_depth
 
         def body(carry):
             depth, st, nseg = carry
-            u = rng_ops.bounce_uniforms(keys, depth).astype(origins.dtype)
+            u = rng_ops.bounce_uniforms(keys[0], keys[1], depth).astype(origins.dtype)
             nseg = nseg + jnp.sum(st.alive, dtype=jnp.int32)
             return depth + 1, bounce_step(scene, st, u, depth, **kw), nseg
 
@@ -148,7 +148,7 @@ def radiance(scene: Scene, origins, directions, keys, *, max_depth=100, rr_depth
         depth, state, nseg = jax.lax.while_loop(cond, body, (jnp.int32(0), state0, nseg0))
     elif loop == "scan":
         def body(st, depth):
-            u = rng_ops.bounce_uniforms(keys, depth).astype(origins.dtype)
+            u = rng_ops.bounce_uniforms(keys[0], keys[1], depth).astype(origins.dtype)
             return bounce_step(scene, st, u, depth, **kw), jnp.sum(st.alive, dtype=jnp.int32)
 
         state, counts = jax.lax.scan(body, state0, jnp.arange(max_depth, dtype=jnp.int32))

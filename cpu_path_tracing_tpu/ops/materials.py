@@ -97,9 +97,14 @@ def schlick(cosine, ref_idx):
     return r0 + (1.0 - r0) * (m * m * m * m * m)
 
 
-def scatter(material, d_in, outward_normal, normal, front, u_a, u_b, u_c):
-    """Blend all three samplers by material id (replaces the ``switch`` at
-    ``src/main.cpp:141-154``).  Returns new (unnormalized-ok) directions [B,3].
+def scatter(mat_mask, d_in, outward_normal, normal, front, u_a, u_b, u_c):
+    """Blend all three samplers by the one-hot material mask (replaces the
+    ``switch`` at ``src/main.cpp:141-154``).  Returns new (unnormalized-ok)
+    directions [B,3].
+
+    Args:
+      mat_mask: [B,3] f32 one-hot (diffuse, specular, dielectric) — produced
+        by ops.intersect.sphere_props so no per-lane int compares are needed.
 
     Draw mapping (fixed 4-block; see ops/rng.py): diffuse uses (u_a, u_b),
     dielectric uses (u_a) for the branch lottery.
@@ -107,12 +112,11 @@ def scatter(material, d_in, outward_normal, normal, front, u_a, u_b, u_c):
     d_diff = sample_diffuse(normal, u_a, u_b)
     d_spec = sample_specular(d_in, outward_normal)
     d_diel, _ = sample_dielectric(d_in, normal, front, u_a)
-    out = jnp.where(
-        (material == DIFFUSE)[:, None],
-        d_diff,
-        jnp.where((material == SPECULAR)[:, None], d_spec, d_diel),
+    return (
+        mat_mask[:, 0:1] * d_diff
+        + mat_mask[:, 1:2] * d_spec
+        + mat_mask[:, 2:3] * d_diel
     )
-    return out
 
 
 def _normalize(v):

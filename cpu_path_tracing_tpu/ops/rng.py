@@ -1,58 +1,100 @@
-"""Counter-based RNG layout.
+"""Counter-based RNG: explicit Threefry-2x32.
 
 TPU-native replacement for the reference's per-row mutable ``std::mt19937``
 stream (``src/random_state.cpp:3-17``), which is (a) sequential — forcing
 row-granular parallelism — and (b) non-deterministic across runs (the seed
 mixes ``std::random_device``, ``src/random_state.cpp:5``).
 
-Here every random draw is a pure function of
-``(seed, cell, sample, purpose/depth, lane)`` via threefry key folding, so:
+Every draw is a pure function of ``(seed, cell, sample, purpose)``:
 
-* any tiling / chunking / sharding / mesh shape produces the *same* image;
-* the f64 CPU oracle and the f32 TPU path consume bit-identical uniforms
-  (threefry is integer math; we always draw in float32 and upcast);
-* checkpoint/resume at a sample boundary is exact.
+    item key   (a0,a1) = threefry2x32((s0,s1), (cell, sample))
+    draw block (y0,y1) = threefry2x32((a0,a1), (purpose, block))
+
+so any tiling / chunking / sharding / mesh shape / lane schedule produces the
+*same* numbers; the f64 oracle and the f32 TPU path consume bit-identical
+uniforms (uniforms are always materialized in f32 from the high 24 bits).
+
+The block cipher is implemented directly with public jnp ops (20-round
+Threefry-2x32, Salmon et al. 2011 — the same PRF behind jax.random) instead
+of via typed key plumbing: two blocks per bounce instead of three
+(fold_in costs a full block), and the identical integer math can later run
+inside a Pallas megakernel without breaking image parity.
 
 Draw layout per (cell, sample):
-  purpose 0              -> 4 uniforms: [jitter_x, jitter_y, disk_u1, disk_u2]
-  purpose 1 + depth      -> 4 uniforms: [u_rr, u_a, u_b, u_c]
-                            diffuse:    u_a = phi draw, u_b = sin^2(theta) draw
-                            dielectric: u_a = reflect/refract choice
-                            (the reference's per-material draw counts are
-                            data-dependent, src/main.cpp:44-97; a fixed
-                            4-draw block replaces them — SURVEY.md §3.3)
+  purpose 0            -> [jitter_x, jitter_y, disk_u1, disk_u2]  (camera)
+  purpose 1 + depth    -> [u_rr, u_a, u_b, u_c]                   (bounce)
+      diffuse:    u_a = phi draw, u_b = sin^2(theta) draw
+      dielectric: u_a = reflect/refract choice
+      (the reference's draw counts are data-dependent, src/main.cpp:44-97;
+      a fixed 4-draw block replaces them — SURVEY.md §3.3)
 """
 
 from __future__ import annotations
 
-import jax
+from typing import Tuple
+
 import jax.numpy as jnp
+import numpy as np
 
-_CAMERA_PURPOSE = 0
-_BOUNCE_PURPOSE_BASE = 1
-
-
-def base_key(seed) -> jax.Array:
-    return jax.random.key(seed, impl="threefry2x32")
+_U32 = jnp.uint32
+_PARITY = np.uint32(0x1BD11BDA)
+_ROTATIONS = ((13, 15, 26, 6), (17, 29, 16, 24))
 
 
-def sample_keys(root: jax.Array, cell_ids: jax.Array, sample_idx) -> jax.Array:
-    """[B] per-(cell, sample) keys: fold(fold(root, cell), sample)."""
-    k = jax.vmap(jax.random.fold_in, in_axes=(None, 0))(root, cell_ids)
-    return jax.vmap(jax.random.fold_in, in_axes=(0, None))(k, sample_idx)
+def threefry2x32(k0, k1, c0, c1) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """20-round Threefry-2x32 block: keys (k0,k1), counter (c0,c1) -> 2 words.
+
+    All inputs broadcast; uint32 in, uint32 out.
+    """
+    k0 = jnp.asarray(k0, _U32)
+    k1 = jnp.asarray(k1, _U32)
+    ks2 = k0 ^ k1 ^ _PARITY
+    ks = (k0, k1, ks2)
+
+    x0 = jnp.asarray(c0, _U32) + k0
+    x1 = jnp.asarray(c1, _U32) + k1
+
+    for i in range(5):
+        for r in _ROTATIONS[i % 2]:
+            x0 = x0 + x1
+            x1 = (x1 << r) | (x1 >> (32 - r))
+            x1 = x1 ^ x0
+        x0 = x0 + ks[(i + 1) % 3]
+        x1 = x1 + ks[(i + 2) % 3] + _U32(i + 1)
+    return x0, x1
 
 
-def _uniform4(keys: jax.Array, purpose) -> jax.Array:
-    """[B,4] float32 uniforms in [0,1) for the given purpose id."""
-    k = jax.vmap(jax.random.fold_in, in_axes=(0, None))(keys, purpose)
-    return jax.vmap(lambda kk: jax.random.uniform(kk, (4,), jnp.float32))(k)
+def master_key(seed: int) -> Tuple[np.uint32, np.uint32]:
+    """Split a python seed into the (s0, s1) cipher key."""
+    seed = int(seed) & 0xFFFFFFFFFFFFFFFF
+    return np.uint32(seed & 0xFFFFFFFF), np.uint32(seed >> 32)
 
 
-def camera_uniforms(keys: jax.Array) -> jax.Array:
+def item_keys(seed, cell_ids, sample_idx) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-(cell, sample) key pair [B] (one cipher block)."""
+    s0, s1 = master_key(seed) if isinstance(seed, int) else seed
+    return threefry2x32(s0, s1, jnp.asarray(cell_ids, _U32), jnp.asarray(sample_idx, _U32))
+
+
+def _to_uniform(bits: jnp.ndarray) -> jnp.ndarray:
+    """uint32 -> f32 uniform in [0,1) from the top 24 bits."""
+    return (bits >> np.uint32(8)).astype(jnp.float32) * np.float32(2.0**-24)
+
+
+def uniforms4(a0, a1, purpose) -> jnp.ndarray:
+    """[B,4] f32 uniforms for draw purpose ``purpose`` (two cipher blocks)."""
+    p = jnp.asarray(purpose, _U32)
+    y0, y1 = threefry2x32(a0, a1, p, p * _U32(0))
+    y2, y3 = threefry2x32(a0, a1, p, p * _U32(0) + _U32(1))
+    return jnp.stack([_to_uniform(y0), _to_uniform(y1), _to_uniform(y2), _to_uniform(y3)], axis=-1)
+
+
+def camera_uniforms(a0, a1) -> jnp.ndarray:
     """[B,4]: [jitter_x, jitter_y, disk_u1, disk_u2]."""
-    return _uniform4(keys, _CAMERA_PURPOSE)
+    return uniforms4(a0, a1, jnp.zeros_like(a0))
 
 
-def bounce_uniforms(keys: jax.Array, depth) -> jax.Array:
-    """[B,4]: [u_rr, u_a, u_b, u_c] for bounce ``depth``."""
-    return _uniform4(keys, _BOUNCE_PURPOSE_BASE + depth)
+def bounce_uniforms(a0, a1, depth) -> jnp.ndarray:
+    """[B,4]: [u_rr, u_a, u_b, u_c] for bounce ``depth`` (scalar or [B])."""
+    p = (jnp.asarray(depth).astype(_U32) + _U32(1)) * jnp.ones_like(a0)
+    return uniforms4(a0, a1, p)

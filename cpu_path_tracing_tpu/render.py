@@ -40,27 +40,32 @@ def decode_cells(cell_ids, cfg: RenderConfig):
     return x, y, sx, sy
 
 
-def camera_rays(scene: Scene, cfg: RenderConfig, cell_ids, sample_idx, root_key, dtype):
-    """Generate one jittered thin-lens ray per cell for sample ``sample_idx``.
+def camera_rays_for_cells(scene: Scene, cfg: RenderConfig, cell_ids, u4, dtype):
+    """Thin-lens rays for given cells from a [B,4] camera-uniform block.
 
     Mirrors ``render_subpixel``'s jitter (uniform within the subpixel cell,
     ``src/main.cpp:186-190``) + ``camera::get_ray`` (``src/camera.cpp:32-38``).
-    Returns (keys [B], origins [B,3], dirs [B,3]).
     """
     ns = cfg.num_subpixels
     x, y, sx, sy = decode_cells(cell_ids, cfg)
-    keys = rng_ops.sample_keys(root_key, cell_ids, sample_idx)
-    u = rng_ops.camera_uniforms(keys).astype(dtype)
-
     sub_len = 1.0 / ns
-    x_in = x.astype(dtype) + sx.astype(dtype) * sub_len + u[:, 0] * sub_len
-    y_in = y.astype(dtype) + sy.astype(dtype) * sub_len + u[:, 1] * sub_len
+    x_in = x.astype(dtype) + sx.astype(dtype) * sub_len + u4[:, 0] * sub_len
+    y_in = y.astype(dtype) + sy.astype(dtype) * sub_len + u4[:, 1] * sub_len
     s = x_in / cfg.width
     t = y_in / cfg.height
-
     cam = build_camera(scene.camera)
-    origins, dirs = get_rays(cam, s, t, u[:, 2], u[:, 3])
-    return keys, origins, dirs
+    return get_rays(cam, s, t, u4[:, 2], u4[:, 3])
+
+
+def camera_rays(scene: Scene, cfg: RenderConfig, cell_ids, sample_idx, root_key, dtype):
+    """Per-(cell, sample) keys + jittered thin-lens rays.
+
+    Returns ((a0, a1), origins [B,3], dirs [B,3]).
+    """
+    a0, a1 = rng_ops.item_keys(root_key, cell_ids, sample_idx)
+    u = rng_ops.camera_uniforms(a0, a1).astype(dtype)
+    origins, dirs = camera_rays_for_cells(scene, cfg, cell_ids, u, dtype)
+    return (a0, a1), origins, dirs
 
 
 def render_cells_range(scene: Scene, cfg: RenderConfig, cell_ids, sample_start, num_samples: int) -> jax.Array:
@@ -69,9 +74,19 @@ def render_cells_range(scene: Scene, cfg: RenderConfig, cell_ids, sample_start, 
     The building block for sample-sharded and progressive rendering: because
     keys depend only on (seed, cell, sample), any partition of the sample
     range sums to the identical total.  [B,3], un-clamped, un-normalized.
+
+    NOTE: the wavefront integrator assumes ``cell_ids`` is a CONTIGUOUS span
+    (it regenerates ids as cell_ids[0] + offset — an id-table gather costs
+    ms/iteration on TPU).  Every in-tree caller passes arange spans; pass
+    integrator='batch' for arbitrary id sets.
     """
+    if cfg.integrator == "wavefront" and cfg.loop == "while":
+        from .ops.wavefront import render_wavefront
+
+        return render_wavefront(scene, cfg, cell_ids, sample_start, num_samples)
+
     dtype = scene.p0.dtype
-    root_key = rng_ops.base_key(cfg.seed)
+    root_key = rng_ops.master_key(cfg.seed)
 
     def one_sample(sample_idx):
         keys, o, d = camera_rays(scene, cfg, cell_ids, sample_idx, root_key, dtype)

@@ -11,8 +11,7 @@ from cpu_path_tracing_tpu.ops.integrator import radiance
 
 
 def _keys(n, seed=0):
-    root = rng_ops.base_key(seed)
-    return rng_ops.sample_keys(root, jnp.arange(n, dtype=jnp.int32), 0)
+    return rng_ops.item_keys(seed, jnp.arange(n, dtype=jnp.int32), 0)
 
 
 def _enclosure(albedo, emission, dtype=jnp.float64):
