@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 
 import cpu_path_tracing_tpu as pt
-from cpu_path_tracing_tpu.ops.wavefront import render_wavefront
+from cpu_path_tracing_tpu.ops.wavefront import render_wavefront, render_wavefront_pallas
 
 BASELINE_MRAYS = 100.0
 
@@ -30,7 +30,8 @@ def bench_disco(width=1024, height=768, spp=8, lanes=1 << 19, repeats=2):
     scene = pt.get_scene("box_mirror", width, height)
     ids = jnp.arange(cfg.num_cells, dtype=jnp.int32)
 
-    f = jax.jit(lambda s, i: render_wavefront(s, cfg, i, 0, cfg.spp, with_stats=True))
+    wf = render_wavefront_pallas if jax.default_backend() == "tpu" else render_wavefront
+    f = jax.jit(lambda s, i: wf(s, cfg, i, 0, cfg.spp, with_stats=True))
     out, stats = f(scene, ids)
     jax.block_until_ready(out)  # compile + warm
 

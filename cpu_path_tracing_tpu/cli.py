@@ -41,7 +41,7 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--max-depth", type=int, default=100)
     p.add_argument("--rr-depth", type=int, default=4)
     p.add_argument("--seed", type=int, default=0)
-    p.add_argument("--integrator", choices=("wavefront", "batch"), default="wavefront")
+    p.add_argument("--integrator", choices=("auto", "wavefront", "pallas", "batch"), default="auto")
     p.add_argument("--lanes", type=int, default=1 << 19, help="wavefront lane-pool width")
     p.add_argument("--profile-dir", default=None, help="capture a jax.profiler trace here")
     p.add_argument("--mesh", default=None, help="TILESxSAMPLES device mesh, e.g. 4x2")
@@ -139,13 +139,17 @@ def cmd_invert(args) -> int:
 
 
 def cmd_bench(args) -> int:
-    from .ops.wavefront import render_wavefront
+    from .ops.wavefront import render_wavefront, render_wavefront_pallas
 
     cfg = _config(args)
     scene = get_scene(args.scene, cfg.width, cfg.height)
     ids = jnp.arange(cfg.num_cells, dtype=jnp.int32)
+    integ = cfg.integrator
+    if integ == "auto":
+        integ = "pallas" if jax.default_backend() == "tpu" else "wavefront"
+    wf = render_wavefront_pallas if integ == "pallas" else render_wavefront
     f = jax.jit(
-        lambda s, i: render_wavefront(s, cfg, i, 0, cfg.spp, with_stats=True)
+        lambda s, i: wf(s, cfg, i, 0, cfg.spp, with_stats=True)
     )
     out, stats = f(scene, ids)
     jax.block_until_ready(out)  # compile + warm

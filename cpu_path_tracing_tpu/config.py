@@ -44,10 +44,13 @@ class RenderConfig:
     # 'while' = early-exit lax.while_loop (fast forward rendering);
     # 'scan'  = fixed-trip lax.scan (reverse-mode differentiable).
     loop: str = "while"
-    # 'wavefront' = persistent integrator with ray regeneration (fast forward
-    # path; see ops/wavefront.py); 'batch' = one launch per sample batch
+    # 'auto' = pallas megakernel on TPU / XLA wavefront elsewhere;
+    # 'wavefront' = persistent integrator with ray regeneration, XLA loop
+    # body (ops/wavefront.py); 'pallas' = same design with the fused Pallas
+    # megakernel loop body (ops/pallas/megakernel.py, f32 only; ~3x the XLA
+    # wavefront on a v5e chip); 'batch' = one launch per sample batch
     # (required for reverse-mode gradients, i.e. loop='scan').
-    integrator: str = "wavefront"
+    integrator: str = "auto"
     # Lane-pool width for the wavefront integrator.
     wavefront_lanes: int = 1 << 19
     # Progressive checkpointing: flush accumulators every N sample batches

@@ -1,0 +1,469 @@
+"""Pallas TPU megakernel: one fused wavefront iteration.
+
+The "native layer" of the framework (SURVEY.md §7 build plan M3) — the
+replacement for the role C++ plays in the reference.  One kernel fuses, per
+lane tile resident in VMEM:
+
+  regeneration (queue pop + threefry keys + thin-lens camera raygen)
+  -> bounce RNG (Threefry-2x32, the exact ops/rng.py cipher — bit-identical
+     uniforms to the XLA path)
+  -> 8-wide unrolled sphere intersection (anchor-point stable quadratic,
+     running min with lowest-index ties; per-hit properties selected
+     sphere-by-sphere — no [B,N] materialization, no gathers)
+  -> shading: sky miss, emission accumulation, Russian roulette, and all
+     three material samplers blended by one-hot masks
+  -> retirement into the K-deep dense ring (generation-striped, no scatter)
+
+State is fully SoA: twenty [B] component arrays tiled as (rows, 128) blocks,
+all aliased in-place (input_output_aliases) so the surrounding
+lax.while_loop carries no copies.  The scalar sphere table and camera frame
+live in SMEM.  Everything the kernel computes matches the jnp reference
+implementation (ops/integrator.py bounce_step + ops/wavefront.py) — parity
+is enforced by tests in interpret mode and on device.
+
+Reference semantics cited inline map to src/main.cpp:104-158 (radiance loop),
+src/camera.cpp:32-38 (thin lens), src/sphere.cpp:6-30 (roots).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...config import RenderConfig
+from ...models.camera import build_camera
+from ...models.scene import Scene
+from ..rng import threefry2x32, master_key
+
+_INF = 1e20
+LANE = 128  # TPU lane width
+DEFAULT_ROWS = 64  # sublane rows per tile -> 8192 lanes/tile
+
+# State array names, in kernel argument order.
+F32_STATE = (
+    "ox", "oy", "oz",        # origin
+    "dx", "dy", "dz",        # direction
+    "thx", "thy", "thz",     # throughput
+    "emx", "emy", "emz",     # accumulated emission
+    "rsx", "rsy", "rsz",     # result
+)
+I32_STATE = ("alive", "depth", "gen")
+U32_STATE = ("k0", "k1")
+STATE_NAMES = F32_STATE + I32_STATE + U32_STATE
+RING_NAMES = ("rgx", "rgy", "rgz")
+
+
+def pack_scene(scene: Scene):
+    """Scene -> (table [N,16] f32 for SMEM).  Columns: p0(3) anchor(3)
+    radius(1) emission(3) albedo(3) mat_onehot(3)."""
+    ad = jax.lax.stop_gradient(scene.anchor_dir)
+    mats = jax.nn.one_hot(scene.material, 3, dtype=jnp.float32)
+    return jnp.concatenate(
+        [
+            scene.p0.astype(jnp.float32),
+            ad.astype(jnp.float32),
+            scene.radius.astype(jnp.float32)[:, None],
+            scene.emission.astype(jnp.float32),
+            scene.albedo.astype(jnp.float32),
+            mats,
+        ],
+        axis=1,
+    )
+
+
+def pack_camera(scene: Scene):
+    """Camera frame -> [16] f32 for SMEM: pos(3) llc(3) cam_x(3) cam_y(3)
+    lens_radius(1) pad(3)."""
+    cam = build_camera(scene.camera)
+    return jnp.concatenate(
+        [
+            cam.position.astype(jnp.float32),
+            cam.lower_left.astype(jnp.float32),
+            cam.cam_x.astype(jnp.float32),
+            cam.cam_y.astype(jnp.float32),
+            cam.lens_radius.astype(jnp.float32)[None],
+            jnp.zeros((3,), jnp.float32),
+        ]
+    )
+
+
+def _u01(bits):
+    # Mosaic has no uint32->f32 cast; the top-24-bit value fits int32 exactly,
+    # so reinterpret and convert from there (bit-identical to ops/rng.py).
+    i32 = jax.lax.bitcast_convert_type(bits >> jnp.uint32(8), jnp.int32)
+    return i32.astype(jnp.float32) * np.float32(2.0**-24)
+
+
+def _rsqrt_safe(x):
+    return jax.lax.rsqrt(jnp.where(x > 0, x, 1.0))
+
+
+def _sqrt_safe(x):
+    return jnp.sqrt(jnp.maximum(x, 0.0))
+
+
+def make_kernel(cfg: RenderConfig, *, n_spheres: int, n_cells: int, n_items: int,
+                n_gens: int, lanes: int, ring_depth: int, rows: int):
+    """Build the kernel body with all static configuration baked in."""
+    K = ring_depth
+    B = lanes
+    W, H, ns = cfg.width, cfg.height, cfg.num_subpixels
+    total_cells = W * H * ns * ns
+    sub_len = np.float32(1.0 / ns)
+    eps = np.float32(cfg.epsilon)
+    s0_key, s1_key = master_key(cfg.seed)
+    max_depth = cfg.max_depth
+    rr_depth = cfg.rr_depth
+    N = n_spheres
+
+    def kernel(table_ref, cam_ref, dyn_ref, *refs):
+        nstate = len(STATE_NAMES)
+        in_refs = dict(zip(STATE_NAMES, refs[:nstate]))
+        ring_in = dict(zip(RING_NAMES, refs[nstate : nstate + 3]))
+        out_refs = dict(zip(STATE_NAMES, refs[nstate + 3 : 2 * nstate + 3]))
+        ring_out = dict(zip(RING_NAMES, refs[2 * nstate + 3 : 2 * nstate + 6]))
+        nseg_ref = refs[2 * nstate + 6]
+
+        g_flush = dyn_ref[0]
+        cell_start = dyn_ref[1]
+        sample_start = dyn_ref[2]
+
+        s = {n: in_refs[n][...] for n in STATE_NAMES}
+        i = pl.program_id(0)
+        lane_global = (
+            i * (rows * LANE)
+            + jax.lax.broadcasted_iota(jnp.int32, (rows, LANE), 0) * LANE
+            + jax.lax.broadcasted_iota(jnp.int32, (rows, LANE), 1)
+        )
+
+        alive = s["alive"] != 0
+
+        # ---------------- regeneration (queue pop + camera) ----------------
+        want_g = s["gen"] + 1
+        can = (~alive) & (want_g < n_gens) & (want_g < g_flush + K)
+        item = want_g * B + lane_global
+        real = can & (item < n_items)
+
+        c_idx = item % n_cells
+        smp = jax.lax.bitcast_convert_type(sample_start + item // n_cells, jnp.uint32)
+        cell = jnp.minimum(cell_start + c_idx, total_cells - 1)
+
+        a0, a1 = threefry2x32(jnp.uint32(s0_key), jnp.uint32(s1_key),
+                              jax.lax.bitcast_convert_type(cell, jnp.uint32), smp)
+        c0, c1 = threefry2x32(a0, a1, jnp.uint32(0) * a0, jnp.uint32(0) * a0)
+        c2, c3 = threefry2x32(a0, a1, jnp.uint32(0) * a0, jnp.uint32(0) * a0 + jnp.uint32(1))
+        jx, jy, du1, du2 = _u01(c0), _u01(c1), _u01(c2), _u01(c3)
+
+        # decode cell -> (x, y, sx, sy); src/main.cpp:186-190 jitter
+        sub = cell % (ns * ns)
+        pix = cell // (ns * ns)
+        px = (pix % W).astype(jnp.float32)
+        py = (pix // W).astype(jnp.float32)
+        sxf = (sub % ns).astype(jnp.float32)
+        syf = (sub // ns).astype(jnp.float32)
+        scr_s = (px + sxf * sub_len + jx * sub_len) * np.float32(1.0 / W)
+        scr_t = (py + syf * sub_len + jy * sub_len) * np.float32(1.0 / H)
+
+        # thin lens (src/camera.cpp:32-38; polar disk sample)
+        lens_r = cam_ref[12]
+        rr_ = jnp.sqrt(du1) * lens_r
+        th_ = np.float32(2.0 * math.pi) * du2
+        rdx = rr_ * jnp.cos(th_)
+        rdy = rr_ * jnp.sin(th_)
+        st_sum = scr_s + scr_t
+        offx, offy = rdx * st_sum, rdy * st_sum  # quirk: rd*(s+t)
+        n_ox = cam_ref[0] + offx
+        n_oy = cam_ref[1] + offy
+        n_oz = cam_ref[2] + jnp.zeros_like(offx)
+        n_dx = cam_ref[3] + cam_ref[6] * scr_s + cam_ref[9] * scr_t - cam_ref[0] - offx
+        n_dy = cam_ref[4] + cam_ref[7] * scr_s + cam_ref[10] * scr_t - cam_ref[1] - offy
+        n_dz = cam_ref[5] + cam_ref[8] * scr_s + cam_ref[11] * scr_t - cam_ref[2]
+
+        def merge(cond, a, b):
+            return jnp.where(cond, a, b)
+
+        s["ox"] = merge(real, n_ox, s["ox"])
+        s["oy"] = merge(real, n_oy, s["oy"])
+        s["oz"] = merge(real, n_oz, s["oz"])
+        s["dx"] = merge(real, n_dx, s["dx"])
+        s["dy"] = merge(real, n_dy, s["dy"])
+        s["dz"] = merge(real, n_dz, s["dz"])
+        for nme in ("thx", "thy", "thz"):
+            s[nme] = merge(real, jnp.ones_like(s[nme]), s[nme])
+        for nme in ("emx", "emy", "emz", "rsx", "rsy", "rsz"):
+            s[nme] = merge(real, jnp.zeros_like(s[nme]), s[nme])
+        s["depth"] = merge(real, jnp.zeros_like(s["depth"]), s["depth"])
+        s["gen"] = merge(can, want_g, s["gen"])
+        s["k0"] = merge(real, a0, s["k0"])
+        s["k1"] = merge(real, a1, s["k1"])
+        was_alive = alive | real
+
+        # Per-tile segment count, broadcast over the (8,128) min tile (SMEM
+        # scalar outputs are not blockable per-tile under Mosaic's tiling
+        # rules); the host sums element [0,0] of each tile.
+        nseg_ref[...] = jnp.full((8, LANE), jnp.sum(was_alive.astype(jnp.int32)), jnp.int32)
+
+        # ---------------- bounce uniforms (ops/rng.py layout) ---------------
+        purpose = jax.lax.bitcast_convert_type(s["depth"] + 1, jnp.uint32)
+        b0, b1 = threefry2x32(s["k0"], s["k1"], purpose, purpose * jnp.uint32(0))
+        b2, b3 = threefry2x32(s["k0"], s["k1"], purpose, purpose * jnp.uint32(0) + jnp.uint32(1))
+        u_rr, u_a, u_b = _u01(b0), _u01(b1), _u01(b2)
+
+        ox, oy, oz = s["ox"], s["oy"], s["oz"]
+        dx, dy, dz = s["dx"], s["dy"], s["dz"]
+
+        # ---------------- intersect: unrolled over N spheres -----------------
+        # (src/sphere.cpp:6-30 roots; src/main.cpp:30-42 nearest, lowest index)
+        a_quad = dx * dx + dy * dy + dz * dz
+        t_best = jnp.full_like(ox, _INF)
+        # selected sphere properties (16 columns)
+        sel = [jnp.zeros_like(ox) for _ in range(16)]
+        for j in range(N):
+            p0x, p0y, p0z = table_ref[j, 0], table_ref[j, 1], table_ref[j, 2]
+            adx, ady, adz = table_ref[j, 3], table_ref[j, 4], table_ref[j, 5]
+            rad = table_ref[j, 6]
+            qx, qy, qz = ox - p0x, oy - p0y, oz - p0z
+            qd = qx * dx + qy * dy + qz * dz
+            add_ = adx * dx + ady * dy + adz * dz
+            b_quad = qd + rad * add_
+            qq = qx * qx + qy * qy + qz * qz
+            qad = qx * adx + qy * ady + qz * adz
+            c_quad = qq + 2.0 * rad * qad
+            disc = b_quad * b_quad - a_quad * c_quad
+            has = disc >= 0.0
+            sq = jnp.sqrt(jnp.where(has, disc, 1.0))
+            sgn = jnp.where(b_quad >= 0.0, 1.0, -1.0)
+            qf = -(b_quad + sgn * sq)
+            r1 = qf / a_quad
+            r2 = jnp.where(qf != 0.0, c_quad / jnp.where(qf != 0.0, qf, 1.0), _INF)
+            tn = jnp.minimum(r1, r2)
+            tf_ = jnp.maximum(r1, r2)
+            root = jnp.where(tn >= eps, tn, jnp.where(tf_ >= eps, tf_, _INF))
+            root = jnp.where(has, root, _INF)
+            better = root < t_best  # strict: first (lowest) index wins ties
+            t_best = jnp.where(better, root, t_best)
+            for c in range(16):
+                sel[c] = jnp.where(better, table_ref[j, c], sel[c])
+        hit = t_best < _INF
+
+        (px_, py_, pz_, adx_, ady_, adz_, rad_, ehx, ehy, ehz,
+         alx, aly, alz, m_dif, m_spe, m_die) = sel
+
+        # ---------------- miss: sky gradient (src/main.cpp:115-120) ----------
+        dinv = _rsqrt_safe(a_quad)
+        sky_t = 0.5 * (dy * dinv + 1.0)
+        skyx = (1.0 - sky_t) + sky_t * 0.5
+        skyy = (1.0 - sky_t) + sky_t * 0.7
+        skyz = (1.0 - sky_t) + sky_t * 1.0
+        die_miss = was_alive & ~hit
+        s["rsx"] = jnp.where(die_miss, s["emx"] + s["thx"] * skyx, s["rsx"])
+        s["rsy"] = jnp.where(die_miss, s["emy"] + s["thy"] * skyy, s["rsy"])
+        s["rsz"] = jnp.where(die_miss, s["emz"] + s["thz"] * skyz, s["rsz"])
+
+        # ---------------- hit record --------------------------------------
+        t_safe = jnp.where(hit, t_best, 1.0)
+        hx = ox + t_safe * dx
+        hy = oy + t_safe * dy
+        hz = oz + t_safe * dz
+        r_inv = 1.0 / jnp.where(rad_ != 0.0, rad_, 1.0)
+        nrx = adx_ + (hx - px_) * r_inv
+        nry = ady_ + (hy - py_) * r_inv
+        nrz = adz_ + (hz - pz_) * r_inv
+        ninv = _rsqrt_safe(nrx * nrx + nry * nry + nrz * nrz)
+        nox_ = nrx * ninv
+        noy_ = nry * ninv
+        noz_ = nrz * ninv
+        ndotd = nox_ * dx + noy_ * dy + noz_ * dz
+        front = ndotd < 0.0
+        fsign = jnp.where(front, 1.0, -1.0)
+        nx_ = nox_ * fsign
+        ny_ = noy_ * fsign
+        nz_ = noz_ * fsign
+
+        emnx = s["emx"] + s["thx"] * ehx  # src/main.cpp:126
+        emny = s["emy"] + s["thy"] * ehy
+        emnz = s["emz"] + s["thz"] * ehz
+
+        # ---------------- Russian roulette (src/main.cpp:128-137) -----------
+        pmax = jnp.maximum(alx, jnp.maximum(aly, alz))
+        p_inv = 1.0 / jnp.where(pmax > 0.0, pmax, 1.0)
+        do_rr = s["depth"] > rr_depth
+        survive = u_rr < pmax
+        killed = do_rr & ~survive
+        colf = jnp.where(do_rr & survive, p_inv, 1.0)
+        die_rr = was_alive & hit & killed
+        s["rsx"] = jnp.where(die_rr, emnx, s["rsx"])
+        s["rsy"] = jnp.where(die_rr, emny, s["rsy"])
+        s["rsz"] = jnp.where(die_rr, emnz, s["rsz"])
+        thnx = s["thx"] * alx * colf
+        thny = s["thy"] * aly * colf
+        thnz = s["thz"] * alz * colf
+
+        # ---------------- diffuse (src/main.cpp:44-58) ----------------------
+        phi = np.float32(2.0 * math.pi) * u_a
+        sin_t = jnp.sqrt(u_b)
+        cos_t = _sqrt_safe(1.0 - u_b)
+        ax_y = jnp.abs(nx_) > 0.1
+        # cross(axis, w) for axis = (0,1,0) vs (1,0,0)
+        ux_r = jnp.where(ax_y, nz_, jnp.zeros_like(nz_))
+        uy_r = jnp.where(ax_y, jnp.zeros_like(nz_), -nz_)
+        uz_r = jnp.where(ax_y, -nx_, ny_)
+        uinv = _rsqrt_safe(ux_r * ux_r + uy_r * uy_r + uz_r * uz_r)
+        ux_, uy_, uz_ = ux_r * uinv, uy_r * uinv, uz_r * uinv
+        vx_ = ny_ * uz_ - nz_ * uy_
+        vy_ = nz_ * ux_ - nx_ * uz_
+        vz_ = nx_ * uy_ - ny_ * ux_
+        cp, sp_ = jnp.cos(phi), jnp.sin(phi)
+        ddx = ux_ * cp * sin_t + vx_ * sp_ * sin_t + nx_ * cos_t
+        ddy = uy_ * cp * sin_t + vy_ * sp_ * sin_t + ny_ * cos_t
+        ddz = uz_ * cp * sin_t + vz_ * sp_ * sin_t + nz_ * cos_t
+        dinv2 = _rsqrt_safe(ddx * ddx + ddy * ddy + ddz * ddz)
+        ddx, ddy, ddz = ddx * dinv2, ddy * dinv2, ddz * dinv2
+
+        # ---------------- specular (src/main.cpp:60-67) ---------------------
+        spx = dx - 2.0 * nox_ * ndotd
+        spy = dy - 2.0 * noy_ * ndotd
+        spz = dz - 2.0 * noz_ * ndotd
+
+        # ---------------- dielectric (src/main.cpp:69-97) -------------------
+        ratio = jnp.where(front, np.float32(0.5), np.float32(2.0))
+        udx, udy, udz = dx * dinv, dy * dinv, dz * dinv
+        cos_d = jnp.minimum(-(udx * nx_ + udy * ny_ + udz * nz_), 1.0)
+        sin_d = _sqrt_safe(1.0 - cos_d * cos_d)
+        cannot = ratio * sin_d > 1.0
+        r0 = (1.0 - ratio) / (1.0 + ratio)
+        r0 = r0 * r0
+        mm = jnp.maximum(1.0 - cos_d, 0.0)
+        reflprob = r0 + (1.0 - r0) * (mm * mm * mm * mm * mm)
+        refl = cannot | (reflprob > u_a)
+        ppx = (udx + nx_ * cos_d) * ratio
+        ppy = (udy + ny_ * cos_d) * ratio
+        ppz = (udz + nz_ * cos_d) * ratio
+        kk = jnp.abs(1.0 - (ppx * ppx + ppy * ppy + ppz * ppz))
+        neg_sqrt_k = -jnp.sqrt(kk)
+        dlx = jnp.where(refl, spx, ppx + nx_ * neg_sqrt_k)
+        dly = jnp.where(refl, spy, ppy + ny_ * neg_sqrt_k)
+        dlz = jnp.where(refl, spz, ppz + nz_ * neg_sqrt_k)
+
+        # ---------------- blend + state update (src/main.cpp:141-154) -------
+        dnx = m_dif * ddx + m_spe * spx + m_die * dlx
+        dny = m_dif * ddy + m_spe * spy + m_die * dly
+        dnz = m_dif * ddz + m_spe * spz + m_die * dlz
+
+        cont = was_alive & hit & ~killed
+        s["ox"] = jnp.where(cont, hx, s["ox"])
+        s["oy"] = jnp.where(cont, hy, s["oy"])
+        s["oz"] = jnp.where(cont, hz, s["oz"])
+        s["dx"] = jnp.where(cont, dnx, s["dx"])
+        s["dy"] = jnp.where(cont, dny, s["dy"])
+        s["dz"] = jnp.where(cont, dnz, s["dz"])
+        s["thx"] = jnp.where(cont, thnx, s["thx"])
+        s["thy"] = jnp.where(cont, thny, s["thy"])
+        s["thz"] = jnp.where(cont, thnz, s["thz"])
+        upd_em = was_alive & hit
+        s["emx"] = jnp.where(upd_em, emnx, s["emx"])
+        s["emy"] = jnp.where(upd_em, emny, s["emy"])
+        s["emz"] = jnp.where(upd_em, emnz, s["emz"])
+
+        depth_new = jnp.where(was_alive, s["depth"] + 1, s["depth"])
+        exhausted = cont & (depth_new >= max_depth)
+        s["rsx"] = jnp.where(exhausted, s["emx"], s["rsx"])
+        s["rsy"] = jnp.where(exhausted, s["emy"], s["rsy"])
+        s["rsz"] = jnp.where(exhausted, s["emz"], s["rsz"])
+        alive_new = cont & ~exhausted
+        s["depth"] = depth_new
+        s["alive"] = alive_new.astype(jnp.int32)
+
+        # ---------------- retire into the dense ring ------------------------
+        finished = was_alive & ~alive_new
+        slot = s["gen"] % K
+        for k in range(K):
+            mk = finished & (slot == k)
+            ring_out["rgx"][k] = ring_in["rgx"][k] + jnp.where(mk, s["rsx"], 0.0)
+            ring_out["rgy"][k] = ring_in["rgy"][k] + jnp.where(mk, s["rsy"], 0.0)
+            ring_out["rgz"][k] = ring_in["rgz"][k] + jnp.where(mk, s["rsz"], 0.0)
+
+        for n in STATE_NAMES:
+            out_refs[n][...] = s[n]
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "n_spheres", "n_cells", "n_items", "n_gens",
+                     "lanes", "ring_depth", "rows", "interpret"),
+)
+def megakernel_step(state: dict, ring: dict, table, cam, dyn, *, cfg: RenderConfig,
+                    n_spheres: int, n_cells: int, n_items: int, n_gens: int,
+                    lanes: int, ring_depth: int, rows: int = DEFAULT_ROWS,
+                    interpret: bool = False):
+    """Run one fused wavefront iteration.
+
+    Args:
+      state: dict of STATE_NAMES -> [B/128, 128] arrays.
+      ring:  dict of RING_NAMES -> [K, B/128, 128] arrays.
+      table: [N,16] f32; cam: [16] f32; dyn: [3] i32 (g_flush, cell_start,
+        sample_start).
+    Returns (state', ring', nseg).
+    """
+    n_rows_total = lanes // LANE
+    grid = (n_rows_total // rows,)
+    K = ring_depth
+
+    kernel = make_kernel(
+        cfg, n_spheres=n_spheres, n_cells=n_cells, n_items=n_items,
+        n_gens=n_gens, lanes=lanes, ring_depth=ring_depth, rows=rows,
+    )
+
+    state_specs = [
+        pl.BlockSpec((rows, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        for _ in STATE_NAMES
+    ]
+    ring_specs = [
+        pl.BlockSpec((K, rows, LANE), lambda i: (0, i, 0), memory_space=pltpu.VMEM)
+        for _ in RING_NAMES
+    ]
+
+    in_specs = (
+        [pl.BlockSpec(memory_space=pltpu.SMEM)] * 3  # table, cam, dyn
+        + state_specs
+        + ring_specs
+    )
+    out_specs = (
+        state_specs
+        + ring_specs
+        + [pl.BlockSpec((8, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM)]
+    )
+    out_shape = (
+        [jax.ShapeDtypeStruct((n_rows_total, LANE), state[n].dtype) for n in STATE_NAMES]
+        + [jax.ShapeDtypeStruct((K, n_rows_total, LANE), jnp.float32) for _ in RING_NAMES]
+        + [jax.ShapeDtypeStruct((grid[0] * 8, LANE), jnp.int32)]
+    )
+
+    n_state = len(STATE_NAMES)
+    # inputs: 0=table 1=cam 2=dyn, 3..3+n_state-1 = state, then 3 rings
+    aliases = {3 + i: i for i in range(n_state)}
+    aliases.update({3 + n_state + i: n_state + i for i in range(3)})
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        input_output_aliases=aliases,
+        interpret=interpret,
+    )(table, cam, dyn, *[state[n] for n in STATE_NAMES], *[ring[n] for n in RING_NAMES])
+
+    state_out = dict(zip(STATE_NAMES, outs[:n_state]))
+    ring_out = dict(zip(RING_NAMES, outs[n_state : n_state + 3]))
+    nseg = jnp.sum(outs[n_state + 3].reshape(grid[0], 8, LANE)[:, 0, 0], dtype=jnp.int32)
+    return state_out, ring_out, nseg

@@ -208,3 +208,115 @@ def render_wavefront(
     if with_stats:
         return sums, {"segments": nseg}
     return sums
+
+
+def render_wavefront_pallas(
+    scene: Scene,
+    cfg: RenderConfig,
+    cell_ids,
+    sample_start,
+    num_samples: int,
+    *,
+    lanes: int | None = None,
+    ring_depth: int = 8,
+    rows: int | None = None,
+    interpret: bool = False,
+    with_stats: bool = False,
+):
+    """render_wavefront with the fused Pallas megakernel as the loop body.
+
+    Same queue/generation/ring design; the regen+bounce+retire iteration runs
+    as ONE pallas_call over SoA lane tiles (ops/pallas/megakernel.py), with
+    only the watermark min-reduce, the flush slice and the loop carry left to
+    XLA.  f32 only.  Draws are bit-identical to the XLA wavefront (same
+    Threefry blocks), so results agree to fp-contraction noise.
+    """
+    from .pallas.megakernel import (
+        LANE,
+        DEFAULT_ROWS,
+        RING_NAMES,
+        STATE_NAMES,
+        F32_STATE,
+        I32_STATE,
+        megakernel_step,
+        pack_camera,
+        pack_scene,
+    )
+
+    if scene.p0.dtype != jnp.float32:
+        raise ValueError("the pallas wavefront path is float32-only")
+    # Mosaic only targets TPU; elsewhere (CPU tests) use the interpreter.
+    interpret = interpret or jax.devices()[0].platform != "tpu"
+    rows = rows or DEFAULT_ROWS
+    tile = rows * LANE
+    n_cells = cell_ids.shape[0]
+    n_items = n_cells * num_samples
+    K = ring_depth
+    B = int(min(lanes or cfg.wavefront_lanes, n_items))
+    B = max(tile, B - B % tile)  # kernel needs whole tiles
+    n_gens = -(-n_items // B)
+    n_rows = B // LANE
+
+    table = pack_scene(scene)
+    cam = pack_camera(scene)
+
+    vzero = (cell_ids[0] * 0).astype(jnp.int32)
+    izero = jnp.zeros((n_rows, LANE), jnp.int32) + vzero
+    fzero = izero.astype(jnp.float32)
+    state0 = {n: fzero for n in F32_STATE}
+    state0.update({n: izero for n in I32_STATE})
+    state0["gen"] = izero - 1
+    state0.update({n: izero.astype(jnp.uint32) for n in ("k0", "k1")})
+    assert set(state0) == set(STATE_NAMES)
+    ring0 = {n: jnp.zeros((K, n_rows, LANE), jnp.float32) + vzero.astype(jnp.float32) for n in RING_NAMES}
+    out0 = {c: jnp.zeros((n_gens * B,), jnp.float32) + vzero.astype(jnp.float32) for c in "xyz"}
+
+    cell_start = cell_ids[0]
+    kw = dict(
+        cfg=cfg, n_spheres=scene.num_spheres, n_cells=n_cells, n_items=n_items,
+        n_gens=n_gens, lanes=B, ring_depth=K, rows=rows, interpret=interpret,
+    )
+
+    def cond(carry):
+        _, _, _, g_flush, _ = carry
+        return g_flush < n_gens
+
+    def body(carry):
+        state, ring, out, g_flush, nseg = carry
+        dyn = jnp.stack(
+            [g_flush, cell_start, jnp.asarray(sample_start, jnp.int32) + vzero]
+        ).astype(jnp.int32)
+        state, ring, dseg = megakernel_step(state, ring, table, cam, dyn, **kw)
+        nseg = nseg + dseg
+
+        low = jnp.where(state["alive"] != 0, state["gen"] - 1, state["gen"])
+        watermark = jnp.min(low)
+        do_flush = g_flush <= watermark
+        gsafe = jnp.where(do_flush, g_flush, 0)
+        slot = gsafe % K
+        krange = jnp.arange(K, dtype=jnp.int32)
+        sel = (krange == slot)[:, None, None]
+        out, ring = dict(out), dict(ring)
+        for c, rn in zip("xyz", RING_NAMES):
+            row = jnp.sum(jnp.where(sel, ring[rn], 0.0), axis=0).reshape(B)
+            out[c] = jax.lax.cond(
+                do_flush,
+                lambda o, r: jax.lax.dynamic_update_slice(o, r, (gsafe * B,)),
+                lambda o, r: o,
+                out[c], row,
+            )
+            ring[rn] = jnp.where(sel & do_flush, 0.0, ring[rn])
+        g_flush = g_flush + do_flush.astype(jnp.int32)
+        return state, ring, out, g_flush, nseg
+
+    carry0 = (state0, ring0, out0, vzero, vzero)
+    _, _, out, _, nseg = jax.lax.while_loop(cond, body, carry0)
+
+    res = jnp.stack([out["x"][:n_items], out["y"][:n_items], out["z"][:n_items]], axis=-1)
+    per_sample = res.reshape(num_samples, n_cells, 3)
+    sums = jax.lax.fori_loop(
+        1, num_samples, lambda i, acc: acc + per_sample[i], per_sample[0]
+    )
+    if with_stats:
+        return sums, {"segments": nseg}
+    return sums

@@ -54,11 +54,15 @@ def render_cells_sharded(scene: Scene, cfg: RenderConfig, mesh: Mesh) -> jax.Arr
         acc = jax.lax.psum(acc, SAMPLE_AXIS)  # the only forward collective
         return acc / cfg.spp
 
+    # check_vma=False: pallas_call outputs carry no varying-axes metadata, so
+    # the vma type-checker cannot see through the megakernel; correctness is
+    # covered by the mesh-shape-invariance tests instead.
     out = jax.shard_map(
         shard_fn,
         mesh=mesh,
         in_specs=(P(), P(TILE_AXIS)),
         out_specs=P(TILE_AXIS),
+        check_vma=False,
     )(scene, cell_ids)
     return out[:n]
 

@@ -80,10 +80,19 @@ def render_cells_range(scene: Scene, cfg: RenderConfig, cell_ids, sample_start, 
     ms/iteration on TPU).  Every in-tree caller passes arange spans; pass
     integrator='batch' for arbitrary id sets.
     """
-    if cfg.integrator == "wavefront" and cfg.loop == "while":
+    integ = cfg.integrator
+    if integ == "auto":
+        on_tpu = jax.default_backend() == "tpu"
+        f32 = scene.p0.dtype == jnp.float32
+        integ = "pallas" if (on_tpu and f32) else "wavefront"
+    if integ == "wavefront" and cfg.loop == "while":
         from .ops.wavefront import render_wavefront
 
         return render_wavefront(scene, cfg, cell_ids, sample_start, num_samples)
+    if integ == "pallas" and cfg.loop == "while":
+        from .ops.wavefront import render_wavefront_pallas
+
+        return render_wavefront_pallas(scene, cfg, cell_ids, sample_start, num_samples)
 
     dtype = scene.p0.dtype
     root_key = rng_ops.master_key(cfg.seed)

@@ -14,6 +14,8 @@ import zlib
 
 import numpy as np
 
+from . import native as _native
+
 
 def color_to_int(x: np.ndarray) -> np.ndarray:
     """Gamma-2.2 transfer, vectorized ``pt::color_to_int`` (src/utils.cpp:11-16)."""
@@ -27,8 +29,15 @@ def tonemap(image) -> np.ndarray:
 
 
 def write_ppm(path: str, image) -> None:
-    """P3 PPM, byte-compatible with ``src/main.cpp:240-247`` ("{} " per channel)."""
+    """P3 PPM, byte-compatible with ``src/main.cpp:240-247`` ("{} " per channel).
+
+    Delegates to the native C++ writer (native/src/ptio.cpp) when available
+    and the input is float32; the Python path below is the byte-compatible
+    fallback/oracle.
+    """
     img = np.asarray(image)
+    if img.dtype == np.float32 and _native.write_ppm(path, img):
+        return
     h, w = img.shape[:2]
     ints = color_to_int(img).reshape(-1)
     with open(path, "w") as f:
@@ -38,7 +47,14 @@ def write_ppm(path: str, image) -> None:
 
 
 def write_png(path: str, image) -> None:
-    """Minimal RGB8 PNG writer (zlib only, no external deps)."""
+    """Minimal RGB8 PNG writer (zlib only, no external deps).
+
+    Delegates to the native C++ encoder when available (same deflate level
+    and filter strategy — identical bytes).
+    """
+    arr = np.asarray(image)
+    if arr.dtype == np.float32 and _native.write_png(path, arr):
+        return
     img = tonemap(image)
     h, w = img.shape[:2]
     raw = b"".join(b"\x00" + img[i].tobytes() for i in range(h))

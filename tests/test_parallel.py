@@ -65,3 +65,13 @@ def test_dryrun_multichip_entrypoint():
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)
+
+
+def test_pallas_integrator_under_shard_map():
+    """The pallas wavefront (interpret mode on CPU) composes with shard_map."""
+    cfg = RenderConfig(width=16, height=8, spp=2, max_depth=8, integrator="pallas",
+                       wavefront_lanes=1 << 13)
+    scene = get_scene("box", 16, 8)
+    img_s = np.asarray(render_image_sharded(scene, cfg, make_mesh(n_tiles=8)))
+    ref = np.asarray(render_image(scene, cfg.replace(integrator="batch"), ))
+    np.testing.assert_allclose(img_s, ref, atol=1e-6, rtol=1e-6)

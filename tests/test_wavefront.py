@@ -74,3 +74,28 @@ def test_stats_segments_match_batch():
     keys, o, d = camera_rays(scene, cfg, ids, 0, rng_ops.master_key(cfg.seed), scene.p0.dtype)
     _, stats_b = radiance(scene, o, d, keys, max_depth=cfg.max_depth, with_stats=True)
     assert int(stats_w["segments"]) == int(stats_b["segments"])
+
+
+def test_pallas_megakernel_matches_xla():
+    """Fused Pallas loop body (interpret mode on CPU) vs the XLA wavefront:
+    identical threefry draws, fp-contraction-level agreement."""
+    from cpu_path_tracing_tpu.ops.wavefront import render_wavefront_pallas
+
+    cfg = pt.RenderConfig(width=16, height=12, spp=2, max_depth=16)
+    for name in ("box_mirror", "simple"):
+        scene = pt.get_scene(name, 16, 12)
+        ids = _cells(cfg)
+        ref = np.asarray(render_wavefront(scene, cfg, ids, 0, 2, lanes=8192))
+        pal = np.asarray(
+            render_wavefront_pallas(scene, cfg, ids, 0, 2, lanes=8192, rows=8, interpret=True)
+        )
+        np.testing.assert_allclose(pal, ref, atol=2e-6, rtol=1e-5)
+
+
+def test_pallas_integrator_dispatch():
+    """cfg.integrator='pallas' routes through render_cells_range."""
+    cfg = pt.RenderConfig(width=8, height=6, spp=1, max_depth=8, integrator="pallas")
+    scene = pt.get_scene("box", 8, 6)
+    out = np.asarray(render_cells_range(scene, cfg, _cells(cfg), 0, 1))
+    ref = _batch(scene, cfg, 1)
+    np.testing.assert_allclose(out, ref, atol=2e-6, rtol=1e-5)
