@@ -84,6 +84,20 @@ def cmd_render(args) -> int:
 
                 n_tiles, n_samples = (int(v) for v in args.mesh.split("x"))
                 img = render_image_sharded(scene, cfg, make_mesh(n_tiles, n_samples))
+            elif args.tile_cells:
+                from .orchestrator import FaultInjector, render_tiled
+
+                injector = (
+                    FaultInjector.parse(args.inject_fault) if args.inject_fault else None
+                )
+                img = render_tiled(
+                    scene, cfg,
+                    tile_cells=args.tile_cells,
+                    checkpoint_path=args.checkpoint,
+                    max_retries=args.max_retries,
+                    fault_injector=injector,
+                    progress=ProgressLogger(cfg.total_spp),
+                )
             elif args.checkpoint:
                 img = render_progressive(
                     scene, cfg, args.checkpoint, args.flush_every,
@@ -180,6 +194,16 @@ def main(argv=None) -> int:
     pr.add_argument("-o", "--out", default="image.png")
     pr.add_argument("--checkpoint", default=None, help="progressive checkpoint path (.npz)")
     pr.add_argument("--flush-every", type=int, default=0, help="samples per checkpoint flush")
+    pr.add_argument(
+        "--tile-cells", type=int, default=0,
+        help="render as independent retried tiles of this many cells "
+             "(fault-tolerant path; 0 = single launch)",
+    )
+    pr.add_argument("--max-retries", type=int, default=2, help="retries per failed tile")
+    pr.add_argument(
+        "--inject-fault", default=None, metavar="TILE[:TIMES],...",
+        help="fault injection: fail these tiles on their first TIMES attempts",
+    )
     pr.set_defaults(fn=cmd_render)
 
     pi = sub.add_parser("invert", help="inverse rendering (recover scene params)")
