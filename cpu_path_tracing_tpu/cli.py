@@ -45,6 +45,14 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--lanes", type=int, default=1 << 19, help="wavefront lane-pool width")
     p.add_argument("--profile-dir", default=None, help="capture a jax.profiler trace here")
     p.add_argument("--mesh", default=None, help="TILESxSAMPLES device mesh, e.g. 4x2")
+    # Multi-host process group (parallel/distributed.py); one process/host.
+    p.add_argument("--coordinator", default=None, help="process-0 address host:port")
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
+    p.add_argument(
+        "--shard-dir", default=None,
+        help="zero-collective mode: each host writes its tile shard here",
+    )
 
 
 def _config(args) -> RenderConfig:
@@ -73,6 +81,8 @@ def _write(path: str, image) -> None:
 
 
 def cmd_render(args) -> int:
+    if args.num_processes:
+        return _render_multihost(args)
     cfg = _config(args)
     scene = get_scene(args.scene, cfg.width, cfg.height)
 
@@ -116,6 +126,50 @@ def cmd_render(args) -> int:
         f"-> {args.out} in {t.seconds:.2f}s ({n_rays / 1e6:.1f}M camera rays)",
         file=sys.stderr,
     )
+    return 0
+
+
+def _render_multihost(args) -> int:
+    """Multi-process render: one process per host (parallel/distributed.py).
+
+    Replicated mode (default): the image is all-gathered and process 0 writes
+    it.  Shard mode (--shard-dir): zero cross-host collectives — every
+    process writes only its own tile shard, then process 0 assembles.
+    """
+    from .parallel.distributed import (
+        assemble_shards,
+        global_mesh,
+        init_distributed,
+        render_image_multihost,
+        render_shard_multihost,
+        write_shards,
+    )
+
+    init_distributed(args.coordinator, args.num_processes, args.process_id)
+    cfg = _config(args)
+    scene = get_scene(args.scene, cfg.width, cfg.height)
+    mesh = global_mesh(n_samples=int(args.mesh.split("x")[1]) if args.mesh else 1)
+    pid = jax.process_index()
+
+    with Timer() as t:
+        if args.shard_dir:
+            shards = render_shard_multihost(scene, cfg, mesh)
+            write_shards(args.shard_dir, shards, cfg, pid)
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices("shards_written")
+            img = assemble_shards(args.shard_dir, cfg) if pid == 0 else None
+        else:
+            img = jax.block_until_ready(render_image_multihost(scene, cfg, mesh))
+    if pid == 0:
+        _write(args.out, np.asarray(img))
+        print(
+            f"[multihost {jax.process_count()} procs x "
+            f"{jax.local_device_count()} devices] {args.scene} "
+            f"{cfg.width}x{cfg.height} @ {cfg.total_spp} total spp -> "
+            f"{args.out} in {t.seconds:.2f}s",
+            file=sys.stderr,
+        )
     return 0
 
 
@@ -186,6 +240,14 @@ def cmd_bench(args) -> int:
 
 
 def main(argv=None) -> int:
+    # Make the JAX_PLATFORMS env var authoritative: plugin sitecustomize hooks
+    # (e.g. the axon TPU tunnel) set jax_platforms via jax.config, which
+    # silently outranks the env var; re-assert the user's choice.
+    import os
+
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
     ap = argparse.ArgumentParser(prog="cpu_path_tracing_tpu", description=__doc__)
     sub = ap.add_subparsers(dest="cmd", required=True)
 

@@ -1,0 +1,147 @@
+"""Multi-host distributed rendering (SURVEY.md §5.8).
+
+The reference is a single process with a shared-memory thread pool
+(``src/main.cpp:214-236``); it has no communication backend at all.  This
+module is the TPU-native distributed layer:
+
+* ``init_distributed`` — ``jax.distributed.initialize()`` over the process
+  group (DCN / coordinator service); on the CPU backend it enables Gloo
+  collectives so the full multi-process path runs (and is tested) on one
+  machine — tests/test_distributed.py launches real 2-process jobs.
+* a global ``('tiles', 'samples')`` mesh over every chip in the slice; scene
+  parameters replicated, image cells sharded.  Forward rendering needs ZERO
+  cross-host collectives until the final image gather — and none at all in
+  shard-output mode, where each host writes only its own tile shard.
+* determinism: keys depend only on (seed, cell, sample) (ops/rng.py), so the
+  1-process and N-process renders are bit-identical images (modulo f32
+  summation order when the sample axis is sharded).
+
+Launch: one process per host, e.g.
+
+    python -m cpu_path_tracing_tpu.cli render --scene box_mirror \\
+        --coordinator HOST0:12345 --num-processes 2 --process-id $RANK ...
+
+or use scripts/launch_multihost.sh for a local N-process CPU run.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import RenderConfig
+from ..models.scene import Scene
+from ..render import finalize_image
+from .mesh import SAMPLE_AXIS, TILE_AXIS
+from .render import render_cells_sharded
+
+
+def init_distributed(
+    coordinator: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Join the process group.  Arguments fall back to the standard env vars
+    (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID) and, on
+    real TPU pods, to the TPU metadata autodetection built into
+    jax.distributed.initialize.
+    """
+    coordinator = coordinator or os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if num_processes is None and "JAX_NUM_PROCESSES" in os.environ:
+        num_processes = int(os.environ["JAX_NUM_PROCESSES"])
+    if process_id is None and "JAX_PROCESS_ID" in os.environ:
+        process_id = int(os.environ["JAX_PROCESS_ID"])
+    # CPU backend: cross-process collectives need the Gloo implementation
+    # (no-op on TPU, where XLA rides ICI/DCN natively).
+    try:
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    except Exception:  # older/newer jax without the option: TPU path only
+        pass
+    jax.distributed.initialize(
+        coordinator_address=coordinator,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
+def global_mesh(n_samples: int = 1) -> Mesh:
+    """('tiles', 'samples') mesh over every device in the slice (all hosts)."""
+    devices = np.asarray(jax.devices())
+    if devices.size % n_samples:
+        raise ValueError(f"{devices.size} devices not divisible by samples={n_samples}")
+    return Mesh(devices.reshape(-1, n_samples), (TILE_AXIS, SAMPLE_AXIS))
+
+
+def render_image_multihost(scene: Scene, cfg: RenderConfig, mesh: Optional[Mesh] = None):
+    """Full-image multi-host render; returns the [H,W,3] image fully
+    replicated on every process (one all-gather at the end — the only
+    cross-host communication of the whole forward render)."""
+    if mesh is None:
+        mesh = global_mesh()
+    cells = render_cells_sharded(scene, cfg, mesh)  # [num_cells,3], tile-sharded
+    img = jax.jit(
+        lambda c: finalize_image(c, cfg),
+        out_shardings=NamedSharding(mesh, P()),
+    )(cells)
+    return img
+
+
+def render_shard_multihost(scene: Scene, cfg: RenderConfig, mesh: Optional[Mesh] = None):
+    """Zero-collective mode: render and return only this process's tile
+    shards as [(cell_start, cell_stop, sums[np]), ...] for per-host shard
+    output (assemble with :func:`assemble_shards`)."""
+    if mesh is None:
+        mesh = global_mesh()
+    cells = render_cells_sharded(scene, cfg, mesh)
+    out = []
+    for s in cells.addressable_shards:
+        (sl,) = s.index[:1]
+        start = sl.start or 0
+        if start >= cfg.num_cells:
+            continue  # pure padding shard
+        data = np.asarray(s.data)
+        stop = min(start + data.shape[0], cfg.num_cells)
+        out.append((start, stop, data[: stop - start]))
+    return out
+
+
+def write_shards(out_dir: str, shards, cfg: RenderConfig, process_id: int) -> str:
+    """Persist this process's shards as one .npz (idempotent, keyed by pid)."""
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, f"shard_{process_id:05d}.npz")
+    tmp = path + ".tmp.npz"
+    np.savez(
+        tmp,
+        starts=np.asarray([s for s, _, _ in shards], np.int64),
+        stops=np.asarray([e for _, e, _ in shards], np.int64),
+        means=np.concatenate([d for _, _, d in shards], axis=0),
+    )
+    os.replace(tmp, path)
+    return path
+
+
+def assemble_shards(out_dir: str, cfg: RenderConfig):
+    """Combine shard files from all hosts into the final [H,W,3] image.
+    Raises if any cell is missing (a lost host — re-render just its shard)."""
+    cells = np.full((cfg.num_cells, 3), np.nan, np.float32)
+    for name in sorted(os.listdir(out_dir)):
+        if not (name.startswith("shard_") and name.endswith(".npz")):
+            continue
+        z = np.load(os.path.join(out_dir, name))
+        off = 0
+        for start, stop in zip(z["starts"], z["stops"]):
+            n = int(stop - start)
+            cells[start:stop] = z["means"][off : off + n]
+            off += n
+    missing = np.flatnonzero(np.isnan(cells[:, 0]))
+    if missing.size:
+        raise ValueError(
+            f"{missing.size} cells missing (first: {missing[0]}) — a host's "
+            f"shard file was not written; re-render that shard"
+        )
+    return finalize_image(jnp.asarray(cells), cfg)
