@@ -29,6 +29,10 @@ from .utils.profiling import maybe_trace
 
 def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--scene", default="box_mirror", choices=scene_names())
+    p.add_argument(
+        "--scene-file", default=None,
+        help="load the scene from a JSON file instead of --scene (models/io.py)",
+    )
     p.add_argument("--width", type=int, default=1024)
     p.add_argument("--height", type=int, default=768)
     sp = p.add_mutually_exclusive_group()
@@ -44,6 +48,11 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--integrator", choices=("auto", "wavefront", "pallas", "batch"), default="auto")
     p.add_argument("--lanes", type=int, default=1 << 19, help="wavefront lane-pool width")
     p.add_argument("--profile-dir", default=None, help="capture a jax.profiler trace here")
+    p.add_argument(
+        "--debug-nans", action="store_true",
+        help="numerical sanitizer: raise at the first NaN-producing op "
+             "(utils/debug.py; the ASan/UBSan analog, SURVEY.md §5.2)",
+    )
     p.add_argument("--mesh", default=None, help="TILESxSAMPLES device mesh, e.g. 4x2")
     # Multi-host process group (parallel/distributed.py); one process/host.
     p.add_argument("--coordinator", default=None, help="process-0 address host:port")
@@ -73,6 +82,14 @@ def _config(args) -> RenderConfig:
     )
 
 
+def _scene(args, cfg: RenderConfig):
+    if getattr(args, "scene_file", None):
+        from .models.io import load_scene
+
+        return load_scene(args.scene_file, cfg.width, cfg.height)
+    return get_scene(args.scene, cfg.width, cfg.height)
+
+
 def _write(path: str, image) -> None:
     if path.endswith(".ppm"):
         write_ppm(path, image)
@@ -84,7 +101,7 @@ def cmd_render(args) -> int:
     if args.num_processes:
         return _render_multihost(args)
     cfg = _config(args)
-    scene = get_scene(args.scene, cfg.width, cfg.height)
+    scene = _scene(args, cfg)
 
     with maybe_trace(args.profile_dir):
         with Timer() as t:
@@ -147,7 +164,7 @@ def _render_multihost(args) -> int:
 
     init_distributed(args.coordinator, args.num_processes, args.process_id)
     cfg = _config(args)
-    scene = get_scene(args.scene, cfg.width, cfg.height)
+    scene = _scene(args, cfg)
     mesh = global_mesh(n_samples=int(args.mesh.split("x")[1]) if args.mesh else 1)
     pid = jax.process_index()
 
@@ -180,7 +197,7 @@ def cmd_invert(args) -> int:
     from .render import render_cells
 
     cfg = _config(args).replace(loop="scan", integrator="batch")
-    scene = get_scene(args.scene, cfg.width, cfg.height)
+    scene = _scene(args, cfg)
     cell_ids = jnp.arange(cfg.num_cells, dtype=jnp.int32)
     target = render_cells(scene, cfg, cell_ids)
 
@@ -206,11 +223,123 @@ def cmd_invert(args) -> int:
     return 0
 
 
+# The BASELINE.md benchmark matrix (resolutions/spp from BASELINE.json's
+# `configs`; the reference itself hardcodes 1024x768 and publishes no numbers).
+BENCH_MATRIX = (
+    # (scene, width, height, total_spp)
+    ("simple", 640, 480, 16),
+    ("box", 400, 400, 64),
+    ("depth_of_field", 800, 600, 256),
+    ("disco_sphere", 1024, 768, 1024),
+)
+
+
+def _bench_one(scene_name, width, height, total_spp, *, integ, lanes, repeats,
+               max_depth=100) -> "RenderReport":
+    from .ops.wavefront import render_wavefront, render_wavefront_pallas
+
+    spp = max(1, total_spp // 4)
+    cfg = RenderConfig(width=width, height=height, spp=spp, max_depth=max_depth,
+                       wavefront_lanes=lanes)
+    scene = get_scene(scene_name, width, height)
+    ids = jnp.arange(cfg.num_cells, dtype=jnp.int32)
+    wf = render_wavefront_pallas if integ == "pallas" else render_wavefront
+    f = jax.jit(lambda s, i: wf(s, cfg, i, 0, cfg.spp, with_stats=True))
+    out, stats = f(scene, ids)
+    jax.block_until_ready(out)  # compile + warm
+    best, segments = None, 0
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        out, stats = f(scene, ids)
+        segments = int(stats["segments"])
+        jax.block_until_ready(out)
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return RenderReport(
+        scene=scene_name, width=width, height=height, total_spp=cfg.total_spp,
+        seconds=best, segments=segments, camera_rays=cfg.num_cells * cfg.spp,
+    )
+
+
+def _bench_invert(steps=20):
+    """Inverse-rendering throughput: optimizer steps/s on box_scene (the
+    BASELINE.json matrix's fifth config)."""
+    import optax
+
+    from .grad import split_params, train_step
+    from .render import render_cells
+
+    cfg = RenderConfig(width=64, height=64, spp=2, max_depth=12,
+                       loop="scan", integrator="batch")
+    scene = get_scene("box", cfg.width, cfg.height)
+    ids = jnp.arange(cfg.num_cells, dtype=jnp.int32)
+    target = render_cells(scene, cfg, ids)
+    params = jax.tree.map(lambda x: x + 0.02, split_params(scene, ("p0", "radius", "albedo")))
+    optimizer = optax.adam(1e-2)
+    opt_state = optimizer.init(params)
+    # Warm-up/compile step, then timed steps.
+    params, opt_state, loss0 = train_step(params, opt_state, scene, cfg, optimizer, ids, target)
+    jax.block_until_ready(loss0)
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        params, opt_state, loss = train_step(params, opt_state, scene, cfg, optimizer, ids, target)
+    jax.block_until_ready(loss)
+    dt = time.perf_counter() - t0
+    return {
+        "scene": "box (inverse rendering, 64x64@8spp, p0/radius/albedo)",
+        "steps_per_s": round(steps / dt, 3),
+        "loss_start": float(loss0),
+        "loss_end": float(loss),
+    }
+
+
+def cmd_bench_suite(args) -> int:
+    integ = args.integrator
+    if integ == "auto":
+        integ = "pallas" if jax.default_backend() == "tpu" else "wavefront"
+    rows = []
+    for scene_name, w, h, tspp in BENCH_MATRIX:
+        tspp = max(4, tspp // args.suite_scale)
+        rep = _bench_one(scene_name, w, h, tspp, integ=integ, lanes=args.lanes,
+                         repeats=args.repeats)
+        rows.append(rep)
+        print(rep.to_json(), flush=True)
+        print(rep.summary(), file=sys.stderr)
+    inv = _bench_invert()
+    print(json.dumps(inv), flush=True)
+
+    dev = jax.devices()[0]
+    lines = [
+        f"# Benchmark suite — {dev.device_kind} ({jax.default_backend()}), integrator={integ}",
+        "",
+        "| scene | resolution | total spp | wall s | Mrays/s | avg depth |",
+        "|---|---|---|---|---|---|",
+    ]
+    for r in rows:
+        lines.append(
+            f"| {r.scene} | {r.width}x{r.height} | {r.total_spp} | "
+            f"{r.seconds:.3f} | {r.mrays_per_s:.1f} | {r.avg_depth:.2f} |"
+        )
+    lines += [
+        "",
+        f"Inverse rendering (box, 64x64@8spp, Adam on p0/radius/albedo): "
+        f"{inv['steps_per_s']} steps/s (loss {inv['loss_start']:.3g} -> {inv['loss_end']:.3g}).",
+    ]
+    report = "\n".join(lines) + "\n"
+    if args.suite_out:
+        with open(args.suite_out, "w") as fh:
+            fh.write(report)
+    print(report, file=sys.stderr)
+    return 0
+
+
 def cmd_bench(args) -> int:
+    if args.suite:
+        return cmd_bench_suite(args)
     from .ops.wavefront import render_wavefront, render_wavefront_pallas
 
     cfg = _config(args)
-    scene = get_scene(args.scene, cfg.width, cfg.height)
+    scene = _scene(args, cfg)
     ids = jnp.arange(cfg.num_cells, dtype=jnp.int32)
     integ = cfg.integrator
     if integ == "auto":
@@ -279,9 +408,19 @@ def main(argv=None) -> int:
     pb = sub.add_parser("bench", help="throughput benchmark")
     _add_common(pb)
     pb.add_argument("--repeats", type=int, default=3)
+    pb.add_argument("--suite", action="store_true",
+                    help="run the full BASELINE.md benchmark matrix")
+    pb.add_argument("--suite-scale", type=int, default=1,
+                    help="divide matrix spp by this (for CPU smoke runs)")
+    pb.add_argument("--suite-out", default=None, help="write the markdown table here")
     pb.set_defaults(fn=cmd_bench)
 
     args = ap.parse_args(argv)
+    if getattr(args, "debug_nans", False):
+        from .utils.debug import debug_context
+
+        with debug_context(nans=True):
+            return args.fn(args)
     return args.fn(args)
 
 

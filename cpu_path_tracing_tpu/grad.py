@@ -28,7 +28,7 @@ from .render import render_cells_range
 from .parallel.mesh import SAMPLE_AXIS, TILE_AXIS
 
 # Scene fields that may be optimized.
-OPTIMIZABLE = ("p0", "radius", "albedo", "emission", "camera")
+OPTIMIZABLE = ("p0", "radius", "albedo", "emission", "camera", "background")
 
 
 def split_params(scene: Scene, fields=("p0", "radius", "albedo")) -> Dict[str, Any]:

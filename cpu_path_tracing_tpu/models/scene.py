@@ -51,7 +51,8 @@ DIELECTRIC = 2
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["p0", "radius", "anchor_dir", "emission", "albedo", "material", "camera"],
+    data_fields=["p0", "radius", "anchor_dir", "emission", "albedo", "material", "camera",
+                 "background"],
     meta_fields=[],
 )
 @dataclasses.dataclass
@@ -69,6 +70,11 @@ class Scene:
     albedo: jax.Array  # [N,3] ("color" in the reference)
     material: jax.Array  # [N] int32, one of DIFFUSE/SPECULAR/DIELECTRIC
     camera: CameraConfig
+    # Miss radiance: sky = (1-t)*background[0] + t*background[1] with
+    # t = 0.5*(unit_dir.y + 1).  Default (white, (.5,.7,1)) is the reference
+    # gradient (src/main.cpp:115-120); (0,0,0) rows give the sandbox smallpt's
+    # black background (sandbox/main.cpp:154-156).  Differentiable.
+    background: jax.Array = None  # [2,3]
 
     @property
     def num_spheres(self) -> int:
@@ -94,7 +100,13 @@ class Scene:
             albedo=f(self.albedo),
             material=jnp.asarray(self.material, jnp.int32),
             camera=self.camera.astype(dtype),
+            background=f(self.background),
         )
+
+
+# The reference's hardcoded sky gradient endpoints (src/main.cpp:116-119).
+SKY_GRADIENT = ((1.0, 1.0, 1.0), (0.5, 0.7, 1.0))
+BLACK_BACKGROUND = ((0.0, 0.0, 0.0), (0.0, 0.0, 0.0))
 
 
 def scene_from_spheres(
@@ -102,6 +114,8 @@ def scene_from_spheres(
     camera: CameraConfig,
     anchor_toward=None,
     dtype=jnp.float32,
+    background=SKY_GRADIENT,
+    anchor_dirs=None,
 ) -> Scene:
     """Build a Scene from (radius, center, emission, albedo, material) tuples.
 
@@ -113,6 +127,10 @@ def scene_from_spheres(
       spheres: iterable of (radius, center[3], emission[3], albedo[3], mat_id).
       anchor_toward: [3] point of interest the anchors should face (default:
         the camera look-at point, matching where rays actually hit the walls).
+      background: ([3],[3]) miss-radiance gradient (bottom, top); defaults to
+        the reference sky (src/main.cpp:116-119).
+      anchor_dirs: optional [N,3] explicit unit anchor directions (overrides
+        ``anchor_toward``; used by models/io.py for exact round-trips).
     """
     if anchor_toward is None:
         anchor_toward = np.asarray(jax.device_get(camera.look_at), np.float64)
@@ -129,10 +147,13 @@ def scene_from_spheres(
 
     radii = np.asarray(radii, np.float64)
     centers = np.stack(centers)
-    toward = anchor_toward[None, :] - centers
-    norms = np.linalg.norm(toward, axis=-1, keepdims=True)
-    # Degenerate case (center == point of interest): arbitrary fixed axis.
-    anchor_dir = np.where(norms > 0, toward / np.where(norms > 0, norms, 1.0), np.array([0.0, 0.0, 1.0]))
+    if anchor_dirs is not None:
+        anchor_dir = np.asarray(anchor_dirs, np.float64)
+    else:
+        toward = anchor_toward[None, :] - centers
+        norms = np.linalg.norm(toward, axis=-1, keepdims=True)
+        # Degenerate case (center == point of interest): arbitrary fixed axis.
+        anchor_dir = np.where(norms > 0, toward / np.where(norms > 0, norms, 1.0), np.array([0.0, 0.0, 1.0]))
     p0 = centers + radii[:, None] * anchor_dir
 
     return Scene(
@@ -143,6 +164,7 @@ def scene_from_spheres(
         albedo=jnp.asarray(np.stack(albedos), dtype),
         material=jnp.asarray(materials, jnp.int32),
         camera=camera,
+        background=jnp.asarray(np.asarray(background, np.float64), dtype),
     )
 
 

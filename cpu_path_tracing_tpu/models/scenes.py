@@ -20,9 +20,18 @@ from __future__ import annotations
 import math
 
 import jax.numpy as jnp
+import numpy as np
 
 from .camera import CameraConfig
-from .scene import DIFFUSE, SPECULAR, DIELECTRIC, Scene, register_scene, scene_from_spheres
+from .scene import (
+    BLACK_BACKGROUND,
+    DIFFUSE,
+    SPECULAR,
+    DIELECTRIC,
+    Scene,
+    register_scene,
+    scene_from_spheres,
+)
 
 
 @register_scene("simple")
@@ -144,4 +153,90 @@ def smallpt_scene(width: int, height: int, dtype=jnp.float32) -> Scene:
         aperture=0.0,
         dtype=dtype,
     )
-    return scene_from_spheres(spheres, camera, anchor_toward=(50.0, 40.8, 81.6), dtype=dtype)
+    # Black background on miss, matching the sandbox (sandbox/main.cpp:154-156)
+    # rather than src/'s sky gradient.
+    return scene_from_spheres(
+        spheres, camera, anchor_toward=(50.0, 40.8, 81.6), dtype=dtype,
+        background=BLACK_BACKGROUND,
+    )
+
+
+@register_scene("depth_of_field")
+def depth_of_field_scene(width: int, height: int, dtype=jnp.float32) -> Scene:
+    """Reconstruction of the retired ``samples/depth_of_field.png`` golden.
+
+    The reference repo ships this render but not its scene source (the scene
+    headers were edited in place; only three survive — SURVEY.md §6).  Rebuilt
+    from the image: yellow diffuse ground, a glass / blue-diffuse / mirror
+    sphere row lit by one bright white light, black background, and a wide
+    thin-lens aperture focused on the centre sphere (the glass sphere sits in
+    the blurred foreground).  Also the 800x600@256spp benchmark-matrix scene
+    (BASELINE.md).
+    """
+    spheres = [
+        (100.0, (0.0, -100.5, -1.0), (0.0, 0.0, 0.0), (0.8, 0.8, 0.0), DIFFUSE),  # ground
+        (0.5, (-1.5, 0.0, -0.4), (0.0, 0.0, 0.0), (0.999, 0.999, 0.999), DIELECTRIC),  # glass
+        (0.5, (0.0, 0.0, -1.0), (0.0, 0.0, 0.0), (0.2, 0.6, 0.95), DIFFUSE),  # blue, in focus
+        (0.5, (1.2, 0.0, -1.6), (0.0, 0.0, 0.0), (0.999, 0.999, 0.999), SPECULAR),  # mirror
+        (1.0, (1.0, 4.5, -1.0), (30.0, 30.0, 30.0), (0.0, 0.0, 0.0), DIFFUSE),  # light
+    ]
+    camera = CameraConfig.make(
+        position=(-3.0, 1.2, 2.5),
+        look_at=(0.0, 0.0, -1.0),
+        aspect_ratio=width / height,
+        vertical_fov_radians=1.1,
+        aperture=0.5,
+        dtype=dtype,
+    )
+    return scene_from_spheres(spheres, camera, dtype=dtype, background=BLACK_BACKGROUND)
+
+
+@register_scene("random_spheres")
+def random_spheres_scene(width: int, height: int, dtype=jnp.float32,
+                         grid: int = 10, seed: int = 7) -> Scene:
+    """Many-sphere stress scene (RTIOW final-scene style): a grid x grid field
+    of randomized small spheres around three feature spheres on a giant
+    ground.
+
+    The reference never scales past 10 spheres and lists a BVH as unbuilt
+    future work (``README.md:8``); this scene (104 spheres at the default
+    grid) exercises the TPU design's answer — the unrolled running-min
+    intersect in the megakernel and the broadcast [B,N] intersect in XLA —
+    and is the many-sphere benchmark scene.
+    """
+    rng = np.random.default_rng(seed)
+    half = grid / 2.0
+    spheres = [
+        (1000.0, (0.0, -1000.0, 0.0), (0, 0, 0), (0.5, 0.5, 0.5), DIFFUSE),  # ground
+        (1.0, (0.0, 1.0, 0.0), (0, 0, 0), (0.999, 0.999, 0.999), DIELECTRIC),
+        (1.0, (-4.0, 1.0, 0.0), (0, 0, 0), (0.4, 0.2, 0.1), DIFFUSE),
+        (1.0, (4.0, 1.0, 0.0), (0, 0, 0), (0.7, 0.6, 0.5), SPECULAR),
+    ]
+    for a in range(grid):
+        for b in range(grid):
+            center = (
+                a - half + 0.9 * rng.random(),
+                0.2,
+                b - half + 0.9 * rng.random(),
+            )
+            if np.linalg.norm(np.subtract(center, (4.0, 0.2, 0.0))) <= 0.9:
+                continue
+            pick = rng.random()
+            if pick < 0.75:
+                albedo = (rng.random(3) * rng.random(3)).tolist()
+                spheres.append((0.2, center, (0, 0, 0), albedo, DIFFUSE))
+            elif pick < 0.95:
+                albedo = (0.5 * (1.0 + rng.random(3))).tolist()
+                spheres.append((0.2, center, (0, 0, 0), albedo, SPECULAR))
+            else:
+                spheres.append((0.2, center, (0, 0, 0), (0.999, 0.999, 0.999), DIELECTRIC))
+    camera = CameraConfig.make(
+        position=(13.0, 2.0, 3.0),
+        look_at=(0.0, 0.0, 0.0),
+        aspect_ratio=width / height,
+        vertical_fov_radians=math.radians(20.0),
+        aperture=0.1,
+        focus_distance=10.0,
+        dtype=dtype,
+    )
+    return scene_from_spheres(spheres, camera, dtype=dtype)

@@ -39,9 +39,6 @@ from . import rng as rng_ops
 from .intersect import intersect_scene, hit_record, sphere_props
 from .materials import scatter
 
-_WHITE = (1.0, 1.0, 1.0)
-_BLUE = (0.5, 0.7, 1.0)
-
 
 class RayState(NamedTuple):
     origin: jax.Array  # [B,3]
@@ -75,10 +72,11 @@ def bounce_step(scene: Scene, state: RayState, uniforms, depth, *, rr_depth, eps
 
     t, hid, hit = intersect_scene(scene, o, d, epsilon=epsilon, inf=inf)
 
-    # ---- miss: sky gradient (src/main.cpp:115-120) ----
+    # ---- miss: scene background gradient (src/main.cpp:115-120) ----
     ud = _normalize(d)
     sky_t = 0.5 * (ud[:, 1] + 1.0)
-    sky = (1.0 - sky_t)[:, None] * jnp.asarray(_WHITE, dt) + sky_t[:, None] * jnp.asarray(_BLUE, dt)
+    bg = scene.background.astype(dt)
+    sky = (1.0 - sky_t)[:, None] * bg[0] + sky_t[:, None] * bg[1]
     die_miss = alive & ~hit
     result = jnp.where(die_miss[:, None], emit + thr * sky, result)
 

@@ -79,8 +79,8 @@ def pack_scene(scene: Scene):
 
 
 def pack_camera(scene: Scene):
-    """Camera frame -> [16] f32 for SMEM: pos(3) llc(3) cam_x(3) cam_y(3)
-    lens_radius(1) pad(3)."""
+    """Camera frame + background -> [19] f32 for SMEM: pos(3) llc(3) cam_x(3)
+    cam_y(3) lens_radius(1) bg_bottom(3) bg_top(3)."""
     cam = build_camera(scene.camera)
     return jnp.concatenate(
         [
@@ -89,7 +89,7 @@ def pack_camera(scene: Scene):
             cam.cam_x.astype(jnp.float32),
             cam.cam_y.astype(jnp.float32),
             cam.lens_radius.astype(jnp.float32)[None],
-            jnp.zeros((3,), jnp.float32),
+            scene.background.astype(jnp.float32).reshape(6),
         ]
     )
 
@@ -256,12 +256,12 @@ def make_kernel(cfg: RenderConfig, *, n_spheres: int, n_cells: int, n_items: int
         (px_, py_, pz_, adx_, ady_, adz_, rad_, ehx, ehy, ehz,
          alx, aly, alz, m_dif, m_spe, m_die) = sel
 
-        # ---------------- miss: sky gradient (src/main.cpp:115-120) ----------
+        # ------- miss: scene background gradient (src/main.cpp:115-120) ------
         dinv = _rsqrt_safe(a_quad)
         sky_t = 0.5 * (dy * dinv + 1.0)
-        skyx = (1.0 - sky_t) + sky_t * 0.5
-        skyy = (1.0 - sky_t) + sky_t * 0.7
-        skyz = (1.0 - sky_t) + sky_t * 1.0
+        skyx = (1.0 - sky_t) * cam_ref[13] + sky_t * cam_ref[16]
+        skyy = (1.0 - sky_t) * cam_ref[14] + sky_t * cam_ref[17]
+        skyz = (1.0 - sky_t) * cam_ref[15] + sky_t * cam_ref[18]
         die_miss = was_alive & ~hit
         s["rsx"] = jnp.where(die_miss, s["emx"] + s["thx"] * skyx, s["rsx"])
         s["rsy"] = jnp.where(die_miss, s["emy"] + s["thy"] * skyy, s["rsy"])

@@ -122,6 +122,7 @@ def test_no_nans_under_grad():
         s2 = sc.__class__(
             p0=p0, radius=rad, anchor_dir=sc.anchor_dir, emission=em,
             albedo=alb, material=sc.material, camera=sc.camera,
+            background=sc.background,
         )
         out = radiance(s2, o, d, _keys(B), max_depth=8, loop="scan")
         return jnp.sum(out)

@@ -8,7 +8,8 @@ from cpu_path_tracing_tpu import DIFFUSE, SPECULAR, DIELECTRIC, get_scene, scene
 
 
 def test_registry_has_all_scenes():
-    assert {"simple", "box", "box_mirror", "disco_sphere", "smallpt"} <= set(scene_names())
+    assert {"simple", "box", "box_mirror", "disco_sphere", "smallpt",
+            "depth_of_field"} <= set(scene_names())
 
 
 @pytest.mark.parametrize("name,n", [("simple", 5), ("box", 8), ("box_mirror", 8), ("smallpt", 10)])
@@ -62,3 +63,46 @@ def test_box_mirror_quirks():
     np.testing.assert_allclose(np.asarray(sc.emission[5]), [1.92, 1.91, 1.9])
     np.testing.assert_allclose(np.asarray(sc.albedo[5]), [1.92, 1.91, 1.9])
     assert float(sc.camera.vertical_fov_radians) == 0.75
+
+
+def test_background_black_on_miss():
+    """smallpt and depth_of_field use a black background (sandbox
+    fidelity, sandbox/main.cpp:154-156): a ray that misses everything
+    contributes zero radiance."""
+    import jax.numpy as jnp
+    from cpu_path_tracing_tpu.ops import rng as rng_ops
+    from cpu_path_tracing_tpu.ops.integrator import radiance
+
+    for name in ("smallpt", "depth_of_field"):
+        scene = get_scene(name, 8, 6)
+        np.testing.assert_array_equal(np.asarray(scene.background), 0.0)
+        o = jnp.asarray([[0.0, 1e4, 0.0]], scene.p0.dtype)  # far outside
+        d = jnp.asarray([[0.0, 1.0, 0.0]], scene.p0.dtype)  # straight up
+        a0, a1 = rng_ops.item_keys(rng_ops.master_key(0), jnp.zeros(1, jnp.int32),
+                                   jnp.zeros(1, jnp.uint32))
+        out = radiance(scene, o, d, (a0, a1), max_depth=4)
+        np.testing.assert_array_equal(np.asarray(out), 0.0)
+
+
+def test_background_gradient_flows():
+    """The background is a differentiable scene parameter."""
+    import jax
+    import jax.numpy as jnp
+    from cpu_path_tracing_tpu.ops import rng as rng_ops
+    from cpu_path_tracing_tpu.ops.integrator import radiance
+
+    scene = get_scene("simple", 8, 6)
+    o = jnp.asarray([[0.0, 1e4, 0.0]], scene.p0.dtype)
+    d = jnp.asarray([[0.0, 1.0, 0.0]], scene.p0.dtype)
+    a0, a1 = rng_ops.item_keys(rng_ops.master_key(0), jnp.zeros(1, jnp.int32),
+                               jnp.zeros(1, jnp.uint32))
+
+    def loss(bg):
+        import dataclasses
+
+        s2 = dataclasses.replace(scene, background=bg)
+        return jnp.sum(radiance(s2, o, d, (a0, a1), max_depth=4, loop="scan"))
+
+    g = np.asarray(jax.grad(loss)(scene.background))
+    # Straight-up miss: sky_t == 1, all gradient on the top row.
+    assert g[1].sum() > 0.99 and abs(g[0]).sum() < 1e-6

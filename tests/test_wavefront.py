@@ -82,7 +82,9 @@ def test_pallas_megakernel_matches_xla():
     from cpu_path_tracing_tpu.ops.wavefront import render_wavefront_pallas
 
     cfg = pt.RenderConfig(width=16, height=12, spp=2, max_depth=16)
-    for name in ("box_mirror", "simple"):
+    # depth_of_field exercises the scene-background path (black sky) in the
+    # kernel; the other two use the default reference sky gradient.
+    for name in ("box_mirror", "simple", "depth_of_field"):
         scene = pt.get_scene(name, 16, 12)
         ids = _cells(cfg)
         ref = np.asarray(render_wavefront(scene, cfg, ids, 0, 2, lanes=8192))
