@@ -125,10 +125,11 @@ def cmd_render(args) -> int:
                     fault_injector=injector,
                     progress=ProgressLogger(cfg.total_spp),
                 )
-            elif args.checkpoint:
+            elif args.checkpoint or args.preview:
                 img = render_progressive(
                     scene, cfg, args.checkpoint, args.flush_every,
                     progress=ProgressLogger(cfg.total_spp),
+                    preview_path=args.preview,
                 )
             else:
                 from .render import render_image
@@ -234,6 +235,14 @@ BENCH_MATRIX = (
 )
 
 
+def _sample_chunk(spp: int, num_cells: int, items_cap: int = 64 << 20) -> int:
+    """Largest divisor of spp keeping num_cells*chunk items per launch under
+    the cap (the wavefront's item-output buffer is 12 bytes/item — one launch
+    of disco_sphere@256spp would need ~10 GB of HBM without chunking)."""
+    cap = max(1, items_cap // num_cells)
+    return max(c for c in range(1, min(spp, cap) + 1) if spp % c == 0)
+
+
 def _bench_one(scene_name, width, height, total_spp, *, integ, lanes, repeats,
                max_depth=100) -> "RenderReport":
     from .ops.wavefront import render_wavefront, render_wavefront_pallas
@@ -243,15 +252,20 @@ def _bench_one(scene_name, width, height, total_spp, *, integ, lanes, repeats,
                        wavefront_lanes=lanes)
     scene = get_scene(scene_name, width, height)
     ids = jnp.arange(cfg.num_cells, dtype=jnp.int32)
+    chunk = _sample_chunk(spp, cfg.num_cells)
     wf = render_wavefront_pallas if integ == "pallas" else render_wavefront
-    f = jax.jit(lambda s, i: wf(s, cfg, i, 0, cfg.spp, with_stats=True))
-    out, stats = f(scene, ids)
+    f = jax.jit(
+        lambda s, i, start: wf(s, cfg, i, start, chunk, with_stats=True)
+    )
+    out, _ = f(scene, ids, 0)
     jax.block_until_ready(out)  # compile + warm
     best, segments = None, 0
     for _ in range(repeats):
         t0 = time.perf_counter()
-        out, stats = f(scene, ids)
-        segments = int(stats["segments"])
+        segments = 0
+        for start in range(0, spp, chunk):
+            out, stats = f(scene, ids, start)
+            segments += int(stats["segments"])
         jax.block_until_ready(out)
         dt = time.perf_counter() - t0
         best = dt if best is None else min(best, dt)
@@ -385,6 +399,11 @@ def main(argv=None) -> int:
     pr.add_argument("-o", "--out", default="image.png")
     pr.add_argument("--checkpoint", default=None, help="progressive checkpoint path (.npz)")
     pr.add_argument("--flush-every", type=int, default=0, help="samples per checkpoint flush")
+    pr.add_argument(
+        "--preview", default=None,
+        help="write the partial image here after every flush (encoded on the "
+             "native writer thread, overlapping device compute)",
+    )
     pr.add_argument(
         "--tile-cells", type=int, default=0,
         help="render as independent retried tiles of this many cells "

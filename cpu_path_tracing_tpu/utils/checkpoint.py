@@ -71,11 +71,14 @@ def render_progressive(
     checkpoint_path: Optional[str] = None,
     flush_every: int = 0,
     progress: Optional[Callable[[int, int], None]] = None,
+    preview_path: Optional[str] = None,
 ):
     """Render cfg.spp samples/cell in batches, checkpointing along the way.
 
     Resumes from ``checkpoint_path`` if it exists and matches.  Returns the
-    final linear image [H,W,3].
+    final linear image [H,W,3].  ``preview_path``: write the partial image
+    there after every flush — encoded on the native writer thread
+    (utils/image.write_png_async) so previews overlap with device compute.
     """
     flush_every = flush_every or cfg.checkpoint_every or cfg.spp
     fp = _fingerprint(scene, cfg)
@@ -105,8 +108,19 @@ def render_progressive(
         state.spp_done += n
         if checkpoint_path:
             state.save(checkpoint_path)
+        if preview_path and state.spp_done < cfg.spp:
+            from .image import write_png_async
+
+            partial = finalize_image(
+                jnp.asarray(state.sums) / state.spp_done, cfg
+            )
+            write_png_async(preview_path, np.asarray(partial, np.float32))
         if progress:
             progress(state.spp_done, cfg.spp)
 
     means = jnp.asarray(state.sums) / cfg.spp
+    if preview_path:
+        from .image import flush_async_writes
+
+        flush_async_writes()
     return finalize_image(means, cfg)

@@ -78,6 +78,22 @@ def write_png(path: str, image) -> None:
         f.write(png)
 
 
+def write_png_async(path: str, image) -> None:
+    """Hand the frame to the native writer thread so encoding/IO overlaps
+    with device compute (progressive previews, checkpoint-time snapshots).
+    Falls back to a synchronous write without the native runtime."""
+    arr = np.asarray(image)
+    if not (arr.dtype == np.float32 and _native.async_submit(path, arr, png=True)):
+        write_png(path, arr)
+
+
+def flush_async_writes() -> None:
+    """Wait for all async frames to reach disk; raises on writer errors."""
+    errs = _native.async_wait()
+    if errs:
+        raise IOError(f"{errs} async image write(s) failed")
+
+
 def read_ppm(path: str) -> np.ndarray:
     """Read a P3 PPM back into uint8 [H,W,3] (for tests/round-trips)."""
     with open(path) as f:

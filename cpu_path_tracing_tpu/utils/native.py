@@ -53,6 +53,12 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.ptio_write_ppm.restype = ctypes.c_int
         lib.ptio_write_png.argtypes = list(lib.ptio_write_ppm.argtypes)
         lib.ptio_write_png.restype = ctypes.c_int
+        lib.ptio_async_submit.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ]
+        lib.ptio_async_pending.restype = ctypes.c_int
+        lib.ptio_async_wait.restype = ctypes.c_int
         _lib = lib
     except OSError:
         _lib = None
@@ -103,3 +109,28 @@ def write_png(path: str, image) -> bool:
         path.encode(), img.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), w, h
     )
     return rc == 0
+
+
+def async_submit(path: str, image, png: bool = True) -> bool:
+    """Enqueue a frame on the native writer thread (the buffer is copied in
+    C++, so the caller's array may be reused immediately).  Returns False if
+    the native runtime is unavailable — callers fall back to a synchronous
+    write."""
+    lib = _load()
+    if lib is None:
+        return False
+    img = _as_f32(image)
+    h, w = img.shape[:2]
+    lib.ptio_async_submit(
+        path.encode(), img.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        w, h, 1 if png else 0,
+    )
+    return True
+
+
+def async_wait() -> int:
+    """Block until all queued frames are on disk; returns the failure count."""
+    lib = _load()
+    if lib is None:
+        return 0
+    return int(lib.ptio_async_wait())

@@ -14,10 +14,14 @@
 
 #include <cfenv>
 #include <cmath>
+#include <condition_variable>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <deque>
+#include <mutex>
 #include <string>
+#include <thread>
 #include <vector>
 
 #include <zlib.h>
@@ -116,6 +120,118 @@ int ptio_write_png(const char* path, const float* img, int32_t width, int32_t he
     size_t written = std::fwrite(png.data(), 1, png.size(), f);
     int rc = (written == png.size()) ? 0 : 2;
     return std::fclose(f) == 0 ? rc : 3;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Async writer: a background worker thread that encodes + writes frames off
+// the Python thread, so progressive checkpoint/preview flushes overlap with
+// device compute instead of stalling the render loop.  The counterpart of
+// the concurrency role Taskflow plays in the reference (src/main.cpp:214-236)
+// on the host side of the TPU design.  Jobs copy their pixel buffer, so the
+// caller may reuse/free its array immediately after submit.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct WriteJob {
+    std::string path;
+    std::vector<float> pixels;
+    int32_t width = 0, height = 0;
+    bool png = true;
+};
+
+struct AsyncWriter {
+    std::mutex mu;
+    std::condition_variable cv;
+    std::condition_variable cv_done;
+    std::deque<WriteJob> queue;
+    std::thread worker;
+    bool started = false;
+    bool stop = false;
+    int in_flight = 0;   // queued + currently executing
+    int errors = 0;
+
+    void run() {
+        std::unique_lock<std::mutex> lk(mu);
+        while (true) {
+            cv.wait(lk, [&] { return stop || !queue.empty(); });
+            if (queue.empty()) {
+                if (stop) return;
+                continue;
+            }
+            WriteJob job = std::move(queue.front());
+            queue.pop_front();
+            lk.unlock();
+            int rc = job.png
+                         ? ptio_write_png(job.path.c_str(), job.pixels.data(),
+                                          job.width, job.height)
+                         : ptio_write_ppm(job.path.c_str(), job.pixels.data(),
+                                          job.width, job.height);
+            lk.lock();
+            if (rc != 0) ++errors;
+            --in_flight;
+            cv_done.notify_all();
+        }
+    }
+
+    void ensure_started() {
+        if (!started) {
+            started = true;
+            worker = std::thread([this] { run(); });
+        }
+    }
+
+    // Drain outstanding jobs and join at process exit (static destruction);
+    // without this the joinable thread's destructor calls std::terminate.
+    ~AsyncWriter() {
+        {
+            std::lock_guard<std::mutex> lk(mu);
+            stop = true;
+        }
+        cv.notify_all();
+        if (worker.joinable()) worker.join();
+    }
+};
+
+AsyncWriter g_writer;
+
+}  // namespace
+
+extern "C" {
+
+// Enqueue a frame; returns immediately (the buffer is copied).  fmt_png != 0
+// writes PNG, else P3 PPM.
+void ptio_async_submit(const char* path, const float* img, int32_t width,
+                       int32_t height, int32_t fmt_png) {
+    WriteJob job;
+    job.path = path;
+    job.width = width;
+    job.height = height;
+    job.png = fmt_png != 0;
+    job.pixels.assign(img, img + static_cast<int64_t>(width) * height * 3);
+    std::lock_guard<std::mutex> lk(g_writer.mu);
+    g_writer.ensure_started();
+    g_writer.queue.push_back(std::move(job));
+    ++g_writer.in_flight;
+    g_writer.cv.notify_one();
+}
+
+// Number of jobs not yet fully written.
+int ptio_async_pending() {
+    std::lock_guard<std::mutex> lk(g_writer.mu);
+    return g_writer.in_flight;
+}
+
+// Block until every submitted job has been written; returns the number of
+// jobs that failed since the last call (and resets the error counter).
+int ptio_async_wait() {
+    std::unique_lock<std::mutex> lk(g_writer.mu);
+    g_writer.cv_done.wait(lk, [&] { return g_writer.in_flight == 0; });
+    int errs = g_writer.errors;
+    g_writer.errors = 0;
+    return errs;
 }
 
 }  // extern "C"
