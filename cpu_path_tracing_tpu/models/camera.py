@@ -37,6 +37,7 @@ import jax.numpy as jnp
         "vertical_fov_radians",
         "aperture",
         "focus_distance",
+        "origin_advance",
     ],
     meta_fields=[],
 )
@@ -57,6 +58,12 @@ class CameraConfig:
     vertical_fov_radians: jax.Array  # scalar
     aperture: jax.Array  # scalar
     focus_distance: jax.Array  # scalar
+    # Push every ray origin this far along its own (unnormalized) direction:
+    # origin += direction * origin_advance.  0 for all reference scenes; the
+    # sandbox smallpt camera starts rays at ``cam.o + d*140``
+    # (sandbox/main.cpp:261) while projecting from cam.o — this reproduces
+    # that exactly (a near-clip, in effect).
+    origin_advance: jax.Array  # scalar
 
     @staticmethod
     def make(
@@ -67,6 +74,7 @@ class CameraConfig:
         aperture,
         focus_distance=None,
         up=(0.0, 1.0, 0.0),
+        origin_advance=0.0,
         dtype=jnp.float32,
     ) -> "CameraConfig":
         position = jnp.asarray(position, dtype)
@@ -83,6 +91,7 @@ class CameraConfig:
             vertical_fov_radians=jnp.asarray(vertical_fov_radians, dtype),
             aperture=jnp.asarray(aperture, dtype),
             focus_distance=jnp.asarray(focus_distance, dtype),
+            origin_advance=jnp.asarray(origin_advance, dtype),
         )
 
     def astype(self, dtype) -> "CameraConfig":
@@ -91,7 +100,8 @@ class CameraConfig:
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["position", "lower_left", "cam_x", "cam_y", "lens_radius"],
+    data_fields=["position", "lower_left", "cam_x", "cam_y", "lens_radius",
+                 "origin_advance"],
     meta_fields=[],
 )
 @dataclasses.dataclass
@@ -103,6 +113,7 @@ class Camera:
     cam_x: jax.Array  # [3]
     cam_y: jax.Array  # [3]
     lens_radius: jax.Array  # scalar
+    origin_advance: jax.Array  # scalar
 
 
 def build_camera(cfg: CameraConfig) -> Camera:
@@ -123,6 +134,7 @@ def build_camera(cfg: CameraConfig) -> Camera:
         cam_x=cam_x,
         cam_y=cam_y,
         lens_radius=0.5 * cfg.aperture,
+        origin_advance=cfg.origin_advance,
     )
 
 
@@ -160,6 +172,9 @@ def get_rays(cam: Camera, s, t, u_disk1, u_disk2):
         - cam.position[None, :]
         - offset
     )
+    # Near-clip advance along the unnormalized direction (smallpt's
+    # ``cam.o + d*140``, sandbox/main.cpp:261; 0 for the src/ camera).
+    origin = origin + cam.origin_advance * direction
     return origin, direction
 
 

@@ -68,6 +68,7 @@ def scene_to_dict(scene: Scene) -> dict:
             "vfov": float(g(cam.vertical_fov_radians)),
             "aperture": float(g(cam.aperture)),
             "focus_distance": float(g(cam.focus_distance)),
+            "origin_advance": float(g(cam.origin_advance)),
         },
         "background": g(scene.background).tolist(),
         "spheres": spheres,
@@ -95,6 +96,7 @@ def scene_from_dict(d: dict, width: int, height: int, dtype=jnp.float32) -> Scen
         vertical_fov_radians=c["vfov"],
         aperture=c.get("aperture", 0.0),
         focus_distance=c.get("focus_distance"),
+        origin_advance=c.get("origin_advance", 0.0),
         dtype=dtype,
     )
     background = d.get("background", ((1.0, 1.0, 1.0), (0.5, 0.7, 1.0)))

@@ -140,17 +140,25 @@ def smallpt_scene(width: int, height: int, dtype=jnp.float32) -> Scene:
         (16.5, (45.0, 46.5, 50.0), (22, 22, 22), (0.0, 0.0, 0.0), DIFFUSE),  # light
         (16.5, (73.0, 16.5, 78.0), (0, 0, 0), (0.999, 0.999, 0.999), DIELECTRIC),  # glass
     ]
-    pos = (50.0, 52.0, 295.6)
+    # The sandbox projects from the eye (50,52,295.6) but starts every ray
+    # 140 units along its own unnormalized direction
+    # (``radiance(Ray(cam.o + d*140, ...))``, sandbox/main.cpp:261) — the eye
+    # itself sits *outside* the box behind the black front wall at z=170, so
+    # the advance is a near-clip.  ``origin_advance=140`` reproduces it
+    # exactly; viewport 0.5135 at focus distance 1 matches the sandbox's
+    # cx/cy basis (sandbox/main.cpp:235-237).
+    eye = (50.0, 52.0, 295.6)
     d = (0.0, -0.042612, -1.0)
     dn = math.sqrt(sum(x * x for x in d))
-    focus = 140.0
-    look_at = tuple(p + focus * (x / dn) for p, x in zip(pos, d))
+    dhat = tuple(x / dn for x in d)
+    look_at = tuple(e + x for e, x in zip(eye, dhat))
     camera = CameraConfig.make(
-        position=pos,
+        position=eye,
         look_at=look_at,
         aspect_ratio=width / height,
         vertical_fov_radians=2.0 * math.atan(0.5135 / 2.0),
         aperture=0.0,
+        origin_advance=140.0,
         dtype=dtype,
     )
     # Black background on miss, matching the sandbox (sandbox/main.cpp:154-156)

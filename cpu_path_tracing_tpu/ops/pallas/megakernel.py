@@ -79,8 +79,8 @@ def pack_scene(scene: Scene):
 
 
 def pack_camera(scene: Scene):
-    """Camera frame + background -> [19] f32 for SMEM: pos(3) llc(3) cam_x(3)
-    cam_y(3) lens_radius(1) bg_bottom(3) bg_top(3)."""
+    """Camera frame + background -> [20] f32 for SMEM: pos(3) llc(3) cam_x(3)
+    cam_y(3) lens_radius(1) bg_bottom(3) bg_top(3) origin_advance(1)."""
     cam = build_camera(scene.camera)
     return jnp.concatenate(
         [
@@ -90,6 +90,7 @@ def pack_camera(scene: Scene):
             cam.cam_y.astype(jnp.float32),
             cam.lens_radius.astype(jnp.float32)[None],
             scene.background.astype(jnp.float32).reshape(6),
+            cam.origin_advance.astype(jnp.float32)[None],
         ]
     )
 
@@ -179,12 +180,15 @@ def make_kernel(cfg: RenderConfig, *, n_spheres: int, n_cells: int, n_items: int
         rdy = rr_ * jnp.sin(th_)
         st_sum = scr_s + scr_t
         offx, offy = rdx * st_sum, rdy * st_sum  # quirk: rd*(s+t)
-        n_ox = cam_ref[0] + offx
-        n_oy = cam_ref[1] + offy
-        n_oz = cam_ref[2] + jnp.zeros_like(offx)
         n_dx = cam_ref[3] + cam_ref[6] * scr_s + cam_ref[9] * scr_t - cam_ref[0] - offx
         n_dy = cam_ref[4] + cam_ref[7] * scr_s + cam_ref[10] * scr_t - cam_ref[1] - offy
         n_dz = cam_ref[5] + cam_ref[8] * scr_s + cam_ref[11] * scr_t - cam_ref[2]
+        # Near-clip advance along the unnormalized direction (cam slot 19;
+        # sandbox/main.cpp:261 ``cam.o + d*140``; 0 for the src/ camera).
+        adv = cam_ref[19]
+        n_ox = cam_ref[0] + offx + adv * n_dx
+        n_oy = cam_ref[1] + offy + adv * n_dy
+        n_oz = cam_ref[2] + adv * n_dz
 
         def merge(cond, a, b):
             return jnp.where(cond, a, b)

@@ -103,3 +103,24 @@ def test_disk_samples_inside_unit_disk():
     assert radii.max() <= 1.0  # lens_radius = 1
     # uniform-on-disk: mean radius = 2/3
     assert abs(radii.mean() - 2 / 3) < 0.02
+
+
+def test_origin_advance_reproduces_smallpt_near_clip():
+    """origin_advance pushes each origin along its own unnormalized direction
+    (sandbox/main.cpp:261 ``cam.o + d*140``) without changing directions."""
+    base = CameraConfig.make(
+        position=(0.0, 0.0, 0.0), look_at=(0.0, 0.0, -1.0), aspect_ratio=1.0,
+        vertical_fov_radians=0.5, aperture=0.0, dtype=jnp.float64,
+    )
+    adv = CameraConfig.make(
+        position=(0.0, 0.0, 0.0), look_at=(0.0, 0.0, -1.0), aspect_ratio=1.0,
+        vertical_fov_radians=0.5, aperture=0.0, origin_advance=140.0,
+        dtype=jnp.float64,
+    )
+    s = jnp.asarray([0.1, 0.5, 0.9], jnp.float64)
+    t = jnp.asarray([0.9, 0.5, 0.2], jnp.float64)
+    z = jnp.zeros(3, jnp.float64)
+    o0, d0 = get_rays(build_camera(base), s, t, z, z)
+    o1, d1 = get_rays(build_camera(adv), s, t, z, z)
+    np.testing.assert_array_equal(np.asarray(d0), np.asarray(d1))
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o0 + 140.0 * d0), atol=1e-12)

@@ -106,3 +106,17 @@ def test_background_gradient_flows():
     g = np.asarray(jax.grad(loss)(scene.background))
     # Straight-up miss: sky_t == 1, all gradient on the top row.
     assert g[1].sum() > 0.99 and abs(g[0]).sum() < 1e-6
+
+
+def test_smallpt_camera_sees_the_box():
+    """Regression: the smallpt eye sits outside the box behind the black
+    front wall; origin_advance=140 (sandbox/main.cpp:261) must put ray
+    origins inside so the render is non-black."""
+    import cpu_path_tracing_tpu as pt
+    from cpu_path_tracing_tpu.render import render_image
+
+    cfg = pt.RenderConfig(width=16, height=12, spp=2, max_depth=12, integrator="batch")
+    scene = get_scene("smallpt", 16, 12)
+    assert float(scene.camera.origin_advance) == 140.0
+    img = np.asarray(render_image(scene, cfg))
+    assert img.mean() > 0.05  # lit interior, not the black wall

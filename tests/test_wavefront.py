@@ -15,7 +15,7 @@ from cpu_path_tracing_tpu.ops.wavefront import render_wavefront
 from cpu_path_tracing_tpu.render import render_cells_range
 
 W, H = 24, 16
-SCENES = ["simple", "box", "box_mirror"]
+SCENES = ["simple", "box", "box_mirror", "smallpt"]
 
 
 def _cells(cfg):
@@ -83,8 +83,9 @@ def test_pallas_megakernel_matches_xla():
 
     cfg = pt.RenderConfig(width=16, height=12, spp=2, max_depth=16)
     # depth_of_field exercises the scene-background path (black sky) in the
-    # kernel; the other two use the default reference sky gradient.
-    for name in ("box_mirror", "simple", "depth_of_field"):
+    # kernel; smallpt exercises origin_advance; the others use the default
+    # reference sky gradient.
+    for name in ("box_mirror", "simple", "depth_of_field", "smallpt"):
         scene = pt.get_scene(name, 16, 12)
         ids = _cells(cfg)
         ref = np.asarray(render_wavefront(scene, cfg, ids, 0, 2, lanes=8192))
