@@ -185,11 +185,11 @@ def render_wavefront(
             lambda o: o,
             out,
         )
-        ring = jnp.where(
-            (jnp.arange(K, dtype=jnp.int32) == gsafe % K)[:, None, None] & do_flush,
-            0.0,
-            ring,
-        )
+        # Clear the flushed slot with a single-slot write (rewrites the same
+        # row when not flushing) — a full-ring masked select here would read
+        # and write all K*B*3 ring floats every iteration.
+        cleared = jnp.where(do_flush, 0.0, row)[None]
+        ring = jax.lax.dynamic_update_slice(ring, cleared, (gsafe % K, vzero, vzero))
         g_flush = g_flush + do_flush.astype(jnp.int32)
 
         return st, ring, out, g_flush, nseg
@@ -294,18 +294,19 @@ def render_wavefront_pallas(
         do_flush = g_flush <= watermark
         gsafe = jnp.where(do_flush, g_flush, 0)
         slot = gsafe % K
-        krange = jnp.arange(K, dtype=jnp.int32)
-        sel = (krange == slot)[:, None, None]
         out, ring = dict(out), dict(ring)
         for c, rn in zip("xyz", RING_NAMES):
-            row = jnp.sum(jnp.where(sel, ring[rn], 0.0), axis=0).reshape(B)
+            # Single-slot slice/update: a masked select over the whole ring
+            # here costs ~3 full K*B passes of HBM traffic per iteration.
+            rowb = jax.lax.dynamic_slice(ring[rn], (slot, vzero, vzero), (1, n_rows, LANE))
             out[c] = jax.lax.cond(
                 do_flush,
                 lambda o, r: jax.lax.dynamic_update_slice(o, r, (gsafe * B,)),
                 lambda o, r: o,
-                out[c], row,
+                out[c], rowb.reshape(B),
             )
-            ring[rn] = jnp.where(sel & do_flush, 0.0, ring[rn])
+            cleared = jnp.where(do_flush, 0.0, rowb)
+            ring[rn] = jax.lax.dynamic_update_slice(ring[rn], cleared, (slot, vzero, vzero))
         g_flush = g_flush + do_flush.astype(jnp.int32)
         return state, ring, out, g_flush, nseg
 
