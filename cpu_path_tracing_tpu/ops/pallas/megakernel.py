@@ -414,7 +414,7 @@ def megakernel_step(state: dict, ring: dict, table, cam, dyn, *, cfg: RenderConf
     Args:
       state: dict of STATE_NAMES -> [B/128, 128] arrays.
       ring:  dict of RING_NAMES -> [K, B/128, 128] arrays.
-      table: [N,16] f32; cam: [16] f32; dyn: [3] i32 (g_flush, cell_start,
+      table: [N,16] f32; cam: [20] f32 (pack_camera); dyn: [3] i32 (g_flush, cell_start,
         sample_start).
     Returns (state', ring', nseg).
     """

@@ -69,8 +69,9 @@ def render_wavefront(
     Returns [n_cells, 3] sums (divide by num_samples for the mean), plus a
     stats dict when requested.
     """
-    from ..render import camera_rays_for_cells  # local import to avoid cycle
+    from ..render import camera_rays_for_cells, check_contiguous_cells  # local import to avoid cycle
 
+    check_contiguous_cells(cell_ids)
     dtype = scene.p0.dtype
     n_cells = cell_ids.shape[0]
     n_items = n_cells * num_samples
@@ -243,6 +244,9 @@ def render_wavefront_pallas(
         pack_scene,
     )
 
+    from ..render import check_contiguous_cells  # local import to avoid cycle
+
+    check_contiguous_cells(cell_ids)
     if scene.p0.dtype != jnp.float32:
         raise ValueError("the pallas wavefront path is float32-only")
     # Mosaic only targets TPU; elsewhere (CPU tests) use the interpreter.

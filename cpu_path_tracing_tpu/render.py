@@ -20,6 +20,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .config import RenderConfig
 from .models.camera import build_camera, get_rays
@@ -68,6 +69,27 @@ def camera_rays(scene: Scene, cfg: RenderConfig, cell_ids, sample_idx, root_key,
     return (a0, a1), origins, dirs
 
 
+def check_contiguous_cells(cell_ids) -> None:
+    """Reject non-contiguous cell id sets on the wavefront paths.
+
+    The wavefront integrators regenerate ids as ``cell_ids[0] + offset`` (an
+    id-table gather costs ms/iteration on TPU), so an arbitrary id set would
+    silently render the WRONG cells.  Validate whenever the ids are concrete
+    (i.e. the caller passed a real array rather than a tracer); under jit the
+    contract is enforced at the jitted boundary where the array was concrete.
+    """
+    try:
+        ids = np.asarray(cell_ids)
+    except Exception:  # traced values: contract checked at the concrete caller
+        return
+    if ids.size and not (np.all(np.diff(ids) == 1)):
+        raise ValueError(
+            "wavefront integrators require a contiguous ascending cell_ids "
+            "span (got a non-contiguous id set); use integrator='batch' for "
+            "arbitrary id sets"
+        )
+
+
 def render_cells_range(scene: Scene, cfg: RenderConfig, cell_ids, sample_start, num_samples: int) -> jax.Array:
     """SUM of radiance over samples [sample_start, sample_start+num_samples).
 
@@ -78,13 +100,16 @@ def render_cells_range(scene: Scene, cfg: RenderConfig, cell_ids, sample_start, 
     NOTE: the wavefront integrator assumes ``cell_ids`` is a CONTIGUOUS span
     (it regenerates ids as cell_ids[0] + offset — an id-table gather costs
     ms/iteration on TPU).  Every in-tree caller passes arange spans; pass
-    integrator='batch' for arbitrary id sets.
+    integrator='batch' for arbitrary id sets.  Concrete non-contiguous ids
+    raise (check_contiguous_cells).
     """
     integ = cfg.integrator
     if integ == "auto":
         on_tpu = jax.default_backend() == "tpu"
         f32 = scene.p0.dtype == jnp.float32
         integ = "pallas" if (on_tpu and f32) else "wavefront"
+    if integ in ("wavefront", "pallas"):
+        check_contiguous_cells(cell_ids)
     if integ == "wavefront" and cfg.loop == "while":
         from .ops.wavefront import render_wavefront
 

@@ -1,6 +1,16 @@
+"""Sweep wavefront megakernel tuning knobs (lanes / rows / ring depth).
+
+Dev tool: prints Mrays/s for each configuration on the disco_sphere
+benchmark workload.  The segment count is deterministic for a fixed
+(scene, config), so it is read once outside the timed region — reading it
+inside would force a device sync mid-measurement.
+"""
+
 import time
+
 import jax
 import jax.numpy as jnp
+
 import cpu_path_tracing_tpu as pt
 from cpu_path_tracing_tpu.ops.wavefront import render_wavefront_pallas
 
@@ -11,6 +21,7 @@ ids = jnp.arange(cfg.num_cells, dtype=jnp.int32)
 configs = [
     dict(lanes=1 << 18, rows=64, ring_depth=8),
     dict(lanes=1 << 19, rows=32, ring_depth=8),
+    dict(lanes=1 << 19, rows=64, ring_depth=8),
     dict(lanes=1 << 19, rows=64, ring_depth=16),
     dict(lanes=3 << 18, rows=64, ring_depth=8),
 ]
@@ -21,11 +32,11 @@ for c in configs:
     try:
         out, stats = f(scene, ids)
         jax.block_until_ready(out)
+        seg = int(stats["segments"])  # deterministic; read outside the timing
         best = None
         for _ in range(2):
             t0 = time.perf_counter()
-            out, stats = f(scene, ids)
-            seg = int(stats["segments"])
+            out, _ = f(scene, ids)
             jax.block_until_ready(out)
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)

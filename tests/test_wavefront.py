@@ -102,3 +102,18 @@ def test_pallas_integrator_dispatch():
     out = np.asarray(render_cells_range(scene, cfg, _cells(cfg), 0, 1))
     ref = _batch(scene, cfg, 1)
     np.testing.assert_allclose(out, ref, atol=2e-6, rtol=1e-5)
+
+
+def test_noncontiguous_cells_rejected():
+    """Wavefront paths raise on a non-contiguous concrete id set (the silent
+    wrong-pixels hazard of the cell_ids[0]+offset regeneration contract)."""
+    cfg = pt.RenderConfig(width=W, height=H, spp=1, max_depth=4)
+    scene = pt.get_scene("simple", W, H)
+    bad = jnp.asarray([0, 2, 4, 6], dtype=jnp.int32)
+    with pytest.raises(ValueError, match="contiguous"):
+        render_wavefront(scene, cfg, bad, 0, 1)
+    with pytest.raises(ValueError, match="contiguous"):
+        render_cells_range(scene, cfg.replace(integrator="wavefront"), bad, 0, 1)
+    # The batch integrator accepts arbitrary id sets.
+    out = render_cells_range(scene, cfg.replace(integrator="batch"), bad, 0, 1)
+    assert out.shape == (4, 3)
