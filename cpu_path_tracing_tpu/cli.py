@@ -192,15 +192,24 @@ def _render_multihost(args) -> int:
 
 
 def cmd_invert(args) -> int:
+    """Inverse rendering at production scale (BASELINE config: box_scene
+    400x400@64 total spp, max_depth 100).
+
+    Forward pass: the fast wavefront/Pallas path.  Backward: sample-chunked,
+    cell-chunked, rematerialized recompute (grad.make_diff_render).  Optimizer
+    state checkpoint/resume via --checkpoint (utils/checkpoint.InvertState).
+    """
     import optax
 
-    from .grad import cell_loss, split_params, train_step
-    from .render import render_cells
+    from .grad import make_accum_train_step, render_target, split_params
+    from .utils.checkpoint import invert_fingerprint, load_or_init_invert
 
-    cfg = _config(args).replace(loop="scan", integrator="batch")
+    cfg = _config(args)
     scene = _scene(args, cfg)
-    cell_ids = jnp.arange(cfg.num_cells, dtype=jnp.int32)
-    target = render_cells(scene, cfg, cell_ids)
+
+    with Timer() as t_target:
+        target = jax.block_until_ready(render_target(scene, cfg, args.cell_chunk))
+    print(f"target rendered in {t_target.seconds:.2f}s", file=sys.stderr)
 
     fields = tuple(args.fields.split(","))
     params = split_params(scene, fields)
@@ -212,26 +221,45 @@ def cmd_invert(args) -> int:
     optimizer = optax.adam(args.lr)
     opt_state = optimizer.init(params)
 
-    for step in range(args.steps):
-        params, opt_state, loss = train_step(
-            params, opt_state, scene, cfg, optimizer, cell_ids, target
-        )
+    fp = invert_fingerprint(scene, cfg, fields, args.lr)
+    state = load_or_init_invert(args.checkpoint, fp, params, opt_state)
+    if state.step:
+        print(f"resumed from {args.checkpoint} at step {state.step}", file=sys.stderr)
+    params, opt_state = state.params, state.opt_state
+
+    step_fn = make_accum_train_step(
+        scene, cfg, optimizer, cell_chunk=args.cell_chunk, sample_chunk=args.sample_chunk
+    )
+    save_every = args.save_every or max(1, args.steps // 10)
+    t0 = time.perf_counter()
+    for step in range(state.step, args.steps):
+        params, opt_state, loss = step_fn(params, opt_state, target)
+        if args.checkpoint and ((step + 1) % save_every == 0 or step == args.steps - 1):
+            from .utils.checkpoint import InvertState
+
+            jax.block_until_ready(loss)
+            InvertState(params, opt_state, step + 1, fp).save(args.checkpoint)
         if step % max(1, args.steps // 10) == 0 or step == args.steps - 1:
             errs = jax.tree.map(
                 lambda p, tp: float(jnp.abs(p - tp).mean()), params, true_params
             )
-            print(json.dumps({"step": step, "loss": float(loss), "mean_abs_err": errs}))
+            sps = (step + 1 - state.step) / (time.perf_counter() - t0)
+            print(json.dumps({"step": step, "loss": float(loss),
+                              "steps_per_s": round(sps, 4), "mean_abs_err": errs}))
     return 0
 
 
 # The BASELINE.md benchmark matrix (resolutions/spp from BASELINE.json's
-# `configs`; the reference itself hardcodes 1024x768 and publishes no numbers).
+# `configs`; the reference itself hardcodes 1024x768 and publishes no
+# numbers), plus the 104-sphere stress scene (VERDICT r1 #8 — exercises the
+# megakernel's unrolled intersect loop at 13x the reference's sphere count).
 BENCH_MATRIX = (
     # (scene, width, height, total_spp)
     ("simple", 640, 480, 16),
     ("box", 400, 400, 64),
     ("depth_of_field", 800, 600, 256),
     ("disco_sphere", 1024, 768, 1024),
+    ("random_spheres", 640, 480, 64),
 )
 
 
@@ -244,7 +272,7 @@ def _sample_chunk(spp: int, num_cells: int, items_cap: int = 64 << 20) -> int:
 
 
 def _bench_one(scene_name, width, height, total_spp, *, integ, lanes, repeats,
-               max_depth=100) -> "RenderReport":
+               max_depth=100, collect_hist=False) -> "RenderReport":
     from .ops.wavefront import render_wavefront, render_wavefront_pallas
 
     spp = max(1, total_spp // 4)
@@ -259,84 +287,116 @@ def _bench_one(scene_name, width, height, total_spp, *, integ, lanes, repeats,
     )
     out, _ = f(scene, ids, 0)
     jax.block_until_ready(out)  # compile + warm
-    best, segments = None, 0
+    best, segments, iters, lanes_used = None, 0, 0, 0
     for _ in range(repeats):
         t0 = time.perf_counter()
-        segments = 0
+        segments, iters = 0, 0
         for start in range(0, spp, chunk):
             out, stats = f(scene, ids, start)
             segments += int(stats["segments"])
+            iters += int(stats["iters"])
+            lanes_used = int(stats["lanes"])
         jax.block_until_ready(out)
         dt = time.perf_counter() - t0
         best = dt if best is None else min(best, dt)
+    hist = None
+    if collect_hist:
+        # Path-length histogram from an untimed low-spp observability run on
+        # the XLA wavefront (the histogram reduce would distort timed numbers).
+        _, hstats = jax.jit(
+            lambda s, i: render_wavefront(s, cfg, i, 0, 1, with_stats=True,
+                                          depth_hist=True)
+        )(scene, ids)
+        hist = [int(v) for v in jax.device_get(hstats["depth_hist"])]
     return RenderReport(
         scene=scene_name, width=width, height=height, total_spp=cfg.total_spp,
         seconds=best, segments=segments, camera_rays=cfg.num_cells * cfg.spp,
+        iters=iters, lanes=lanes_used, depth_hist=hist,
     )
 
 
-def _bench_invert(steps=20):
-    """Inverse-rendering throughput: optimizer steps/s on box_scene (the
-    BASELINE.json matrix's fifth config)."""
+def _bench_invert(steps=None, production=None):
+    """Inverse-rendering throughput: optimizer steps/s on box_scene at the
+    BASELINE.json inverse config (400x400 @ 64 total spp, max_depth 100) —
+    fast wavefront/Pallas forward + sample-chunked rematerialized backward
+    (grad.make_accum_train_step).  On CPU the config is shrunk (the
+    production size is a TPU workload); the machinery is identical."""
     import optax
 
-    from .grad import split_params, train_step
-    from .render import render_cells
+    from .grad import make_accum_train_step, render_target, split_params
 
-    cfg = RenderConfig(width=64, height=64, spp=2, max_depth=12,
-                       loop="scan", integrator="batch")
+    if production is None:
+        production = jax.default_backend() == "tpu"
+    if production:
+        cfg = RenderConfig(width=400, height=400, spp=16, max_depth=100)
+        cell_chunk, sample_chunk = 1 << 17, 1
+        steps = steps or 3
+    else:
+        cfg = RenderConfig(width=64, height=64, spp=2, max_depth=12)
+        cell_chunk, sample_chunk = 1 << 14, 1
+        steps = steps or 5
     scene = get_scene("box", cfg.width, cfg.height)
-    ids = jnp.arange(cfg.num_cells, dtype=jnp.int32)
-    target = render_cells(scene, cfg, ids)
-    params = jax.tree.map(lambda x: x + 0.02, split_params(scene, ("p0", "radius", "albedo")))
+    target = render_target(scene, cfg, cell_chunk)
+    params = jax.tree.map(lambda x: x + 0.02, split_params(scene, ("albedo", "emission")))
     optimizer = optax.adam(1e-2)
     opt_state = optimizer.init(params)
+    step_fn = make_accum_train_step(scene, cfg, optimizer,
+                                    cell_chunk=cell_chunk, sample_chunk=sample_chunk)
     # Warm-up/compile step, then timed steps.
-    params, opt_state, loss0 = train_step(params, opt_state, scene, cfg, optimizer, ids, target)
+    params, opt_state, loss0 = step_fn(params, opt_state, target)
     jax.block_until_ready(loss0)
     t0 = time.perf_counter()
     for _ in range(steps):
-        params, opt_state, loss = train_step(params, opt_state, scene, cfg, optimizer, ids, target)
+        params, opt_state, loss = step_fn(params, opt_state, target)
     jax.block_until_ready(loss)
     dt = time.perf_counter() - t0
     return {
-        "scene": "box (inverse rendering, 64x64@8spp, p0/radius/albedo)",
-        "steps_per_s": round(steps / dt, 3),
+        "scene": (
+            f"box (inverse rendering, {cfg.width}x{cfg.height}@{cfg.total_spp} "
+            f"total spp, max_depth {cfg.max_depth}, albedo/emission)"
+        ),
+        "steps_per_s": round(steps / dt, 4),
         "loss_start": float(loss0),
         "loss_end": float(loss),
     }
 
 
 def cmd_bench_suite(args) -> int:
+    from .utils.metrics import MetricsSink
+
     integ = args.integrator
     if integ == "auto":
         integ = "pallas" if jax.default_backend() == "tpu" else "wavefront"
+    sink = MetricsSink(echo=True)  # per-scene structured records on stdout
     rows = []
     for scene_name, w, h, tspp in BENCH_MATRIX:
         tspp = max(4, tspp // args.suite_scale)
         rep = _bench_one(scene_name, w, h, tspp, integ=integ, lanes=args.lanes,
-                         repeats=args.repeats)
+                         repeats=args.repeats, collect_hist=True)
         rows.append(rep)
-        print(rep.to_json(), flush=True)
+        sink.log(**json.loads(rep.to_json()))
         print(rep.summary(), file=sys.stderr)
     inv = _bench_invert()
-    print(json.dumps(inv), flush=True)
+    sink.log(**inv)
 
     dev = jax.devices()[0]
     lines = [
         f"# Benchmark suite — {dev.device_kind} ({jax.default_backend()}), integrator={integ}",
         "",
-        "| scene | resolution | total spp | wall s | Mrays/s | avg depth |",
-        "|---|---|---|---|---|---|",
+        "| scene | resolution | total spp | wall s | Mrays/s | avg depth | occupancy | path-len p50/p90/p99 |",
+        "|---|---|---|---|---|---|---|---|",
     ]
     for r in rows:
+        pct = r.depth_percentiles() or {}
         lines.append(
             f"| {r.scene} | {r.width}x{r.height} | {r.total_spp} | "
-            f"{r.seconds:.3f} | {r.mrays_per_s:.1f} | {r.avg_depth:.2f} |"
+            f"{r.seconds:.3f} | {r.mrays_per_s:.1f} | {r.avg_depth:.2f} | "
+            f"{100 * r.occupancy:.1f}% | "
+            f"{pct.get('p50', '-')}/{pct.get('p90', '-')}/{pct.get('p99', '-')} |"
         )
     lines += [
         "",
-        f"Inverse rendering (box, 64x64@8spp, Adam on p0/radius/albedo): "
+        f"Inverse rendering ({inv['scene']}): "
         f"{inv['steps_per_s']} steps/s (loss {inv['loss_start']:.3g} -> {inv['loss_end']:.3g}).",
     ]
     report = "\n".join(lines) + "\n"
@@ -364,18 +424,20 @@ def cmd_bench(args) -> int:
     )
     out, stats = f(scene, ids)
     jax.block_until_ready(out)  # compile + warm
-    best, segments = None, 0
+    best, segments, iters, lanes = None, 0, 0, 0
     for _ in range(args.repeats):
         t0 = time.perf_counter()
         out, stats = f(scene, ids)
         segments = int(stats["segments"])
+        iters = int(stats["iters"])
+        lanes = int(stats["lanes"])
         jax.block_until_ready(out)
         dt = time.perf_counter() - t0
         best = dt if best is None else min(best, dt)
     rep = RenderReport(
         scene=args.scene, width=cfg.width, height=cfg.height,
         total_spp=cfg.total_spp, seconds=best, segments=segments,
-        camera_rays=cfg.num_cells * cfg.spp,
+        camera_rays=cfg.num_cells * cfg.spp, iters=iters, lanes=lanes,
     )
     print(rep.to_json())
     print(rep.summary(), file=sys.stderr)
@@ -420,8 +482,16 @@ def main(argv=None) -> int:
     _add_common(pi)
     pi.add_argument("--steps", type=int, default=100)
     pi.add_argument("--lr", type=float, default=1e-2)
-    pi.add_argument("--fields", default="p0,radius,albedo")
+    pi.add_argument("--fields", default="albedo,emission")
     pi.add_argument("--perturb", type=float, default=0.05)
+    pi.add_argument("--cell-chunk", type=int, default=1 << 17,
+                    help="cells per gradient-accumulation chunk")
+    pi.add_argument("--sample-chunk", type=int, default=1,
+                    help="samples recomputed per backward slice (memory knob)")
+    pi.add_argument("--checkpoint", default=None,
+                    help="optimizer-state checkpoint path (.npz); resumes if present")
+    pi.add_argument("--save-every", type=int, default=0,
+                    help="checkpoint every N steps (default: steps/10)")
     pi.set_defaults(fn=cmd_invert)
 
     pb = sub.add_parser("bench", help="throughput benchmark")

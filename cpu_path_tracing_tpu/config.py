@@ -44,6 +44,13 @@ class RenderConfig:
     # 'while' = early-exit lax.while_loop (fast forward rendering);
     # 'scan'  = fixed-trip lax.scan (reverse-mode differentiable).
     loop: str = "while"
+    # Rematerialize the bounce loop under reverse-mode AD: each lax.scan step
+    # is wrapped in jax.checkpoint, so the backward pass stores only the
+    # [B]-sized per-bounce carries (not every intersection intermediate) and
+    # recomputes the rest.  Cuts activation memory by ~the live-intermediate
+    # factor, which is what lets the BASELINE inverse config (box_scene
+    # 400x400@64spp, max_depth 100) fit on one chip.  Only affects loop='scan'.
+    remat: bool = False
     # 'auto' = pallas megakernel on TPU / XLA wavefront elsewhere;
     # 'wavefront' = persistent integrator with ray regeneration, XLA loop
     # body (ops/wavefront.py); 'pallas' = same design with the fused Pallas

@@ -25,6 +25,20 @@ gradients flow through the *continuous* quantities only (t, normals, Fresnel
 weights, throughput) — the standard detached/reparameterized estimator.
 Visibility discontinuities are not edge-sampled; those derivatives are biased
 (documented, SURVEY.md §7 hard-part 2).
+
+Structure of the geometry gradient (be precise about what is nonzero): a
+path's contribution is ``sum_k (prod_j albedo_j / p_j) * emission_k`` —
+constants per path topology — plus the sky term on a miss, whose value
+``(1-t)*bg0 + t*bg1`` varies continuously with the final direction.  Every
+bounce direction is reparameterized through the hit normal, so sphere
+position/radius gradients flow hit -> normal -> scattered direction -> ... ->
+sky.  Consequently geometry gradients are exact-and-nonzero wherever some
+sample paths escape to the background (e.g. the ``simple`` scene), and are
+exactly zero in closed scenes (``box``/``box_mirror``), where the true
+gradient is carried entirely by visibility edges the detached estimator
+drops.  Emission/albedo/background/camera gradients are informative in every
+scene.  Finite differences of the same estimator agree in all cases (the
+BASELINE.json parity target), since FD sees the same piecewise structure.
 """
 
 from __future__ import annotations
@@ -117,7 +131,7 @@ def bounce_step(scene: Scene, state: RayState, uniforms, depth, *, rr_depth, eps
 
 
 def radiance(scene: Scene, origins, directions, keys, *, max_depth=100, rr_depth=4,
-             epsilon=1e-4, inf=1e20, loop="while", with_stats=False):
+             epsilon=1e-4, inf=1e20, loop="while", with_stats=False, remat=False):
     """Estimate radiance for a ray batch.
 
     Args:
@@ -126,6 +140,9 @@ def radiance(scene: Scene, origins, directions, keys, *, max_depth=100, rr_depth
       with_stats: also return {'segments': total rays traced (sum over
         bounces of live lanes), 'depth': iterations executed} — the
         observability counters of SURVEY.md §5.5.
+      remat: wrap each scan step in jax.checkpoint so reverse-mode AD stores
+        only the per-bounce RayState carry and recomputes intersection/shading
+        intermediates (see RenderConfig.remat).  Ignored for loop='while'.
     Returns: [B,3] radiance (and the stats dict if requested).
     """
     state0 = init_state(origins, directions)
@@ -149,6 +166,8 @@ def radiance(scene: Scene, origins, directions, keys, *, max_depth=100, rr_depth
             u = rng_ops.bounce_uniforms(keys[0], keys[1], depth).astype(origins.dtype)
             return bounce_step(scene, st, u, depth, **kw), jnp.sum(st.alive, dtype=jnp.int32)
 
+        if remat:
+            body = jax.checkpoint(body)
         state, counts = jax.lax.scan(body, state0, jnp.arange(max_depth, dtype=jnp.int32))
         nseg = jnp.sum(counts)
         depth = jnp.int32(max_depth)
@@ -158,7 +177,12 @@ def radiance(scene: Scene, origins, directions, keys, *, max_depth=100, rr_depth
     # Depth-limit exhaustion returns accumulated emission (src/main.cpp:157).
     out = jnp.where(state.alive[:, None], state.emission, state.result)
     if with_stats:
-        return out, {"segments": nseg, "depth": depth}
+        stats = {"segments": nseg, "depth": depth}
+        if loop == "scan":
+            # Live-lane count at each bounce depth — the survival curve
+            # (SURVEY.md §5.5 bounce-depth observability), free from the scan.
+            stats["live_per_depth"] = counts
+        return out, stats
     return out
 
 

@@ -62,12 +62,19 @@ def render_wavefront(
     lanes: int | None = None,
     ring_depth: int = 8,
     with_stats: bool = False,
+    depth_hist: bool = False,
 ):
     """SUM of radiance over the sample range for each cell — the persistent
     replacement for the batch path in render.render_cells_range.
 
     Returns [n_cells, 3] sums (divide by num_samples for the mean), plus a
-    stats dict when requested.
+    stats dict when requested: ``segments`` (total path segments traced),
+    ``iters`` (loop iterations) and ``lanes`` — occupancy is
+    ``segments / (iters * lanes)``, the number that substantiates the
+    persistent design's saturation claim (SURVEY.md §5.1/§5.5).  With
+    ``depth_hist`` also ``depth_hist``: [max_depth] int32, count of items
+    retired after exactly d+1 segments (costs a [B, max_depth] compare-reduce
+    per iteration — enable for observability runs, not timed benchmarks).
     """
     from ..render import camera_rays_for_cells, check_contiguous_cells  # local import to avoid cycle
 
@@ -143,18 +150,24 @@ def render_wavefront(
             k1=jnp.where(real, a1, st.k1),
         )
 
+    hist0 = jnp.zeros((cfg.max_depth,), jnp.int32) + vzero
+    depth_bins = jnp.arange(1, cfg.max_depth + 1, dtype=jnp.int32)
+
     def cond(carry):
-        st, ring, out, g_flush, nseg = carry
+        st, ring, out, g_flush, nseg, iters, hist = carry
         return g_flush < n_gens
 
     def body(carry):
-        st, ring, out, g_flush, nseg = carry
-        st = regenerate(st, g_flush)
+        st, ring, out, g_flush, nseg, iters, hist = carry
+        with jax.named_scope("wf_regen"):
+            st = regenerate(st, g_flush)
         was_alive = st.ray.alive
         nseg = nseg + jnp.sum(was_alive, dtype=jnp.int32)
+        iters = iters + 1
 
-        u = rng_ops.bounce_uniforms(st.k0, st.k1, st.depth).astype(dtype)
-        ray = bounce_step(scene, st.ray, u, st.depth, **kw)
+        with jax.named_scope("wf_bounce"):
+            u = rng_ops.bounce_uniforms(st.k0, st.k1, st.depth).astype(dtype)
+            ray = bounce_step(scene, st.ray, u, st.depth, **kw)
         depth = jnp.where(was_alive, st.depth + 1, st.depth)
 
         # Depth-limit exhaustion: return accumulated emission (main.cpp:157).
@@ -165,11 +178,17 @@ def render_wavefront(
         st = LaneState(ray, depth, st.gen, st.k0, st.k1)
 
         # Retire finished results into the dense lane-indexed ring.
-        finished = was_alive & ~alive
-        slot = st.gen % K  # [B]
-        fr = jnp.where(finished[:, None], result, 0.0)
-        onehot = (slot[None, :] == jnp.arange(K, dtype=jnp.int32)[:, None])
-        ring = ring + onehot[:, :, None] * fr[None, :, :]
+        with jax.named_scope("wf_retire"):
+            finished = was_alive & ~alive
+            if depth_hist:
+                hist = hist + jnp.sum(
+                    finished[:, None] & (depth[:, None] == depth_bins[None, :]),
+                    axis=0, dtype=jnp.int32,
+                )
+            slot = st.gen % K  # [B]
+            fr = jnp.where(finished[:, None], result, 0.0)
+            onehot = (slot[None, :] == jnp.arange(K, dtype=jnp.int32)[:, None])
+            ring = ring + onehot[:, :, None] * fr[None, :, :]
 
         # Watermark: generations every lane has fully passed.
         low = jnp.where(st.ray.alive, st.gen - 1, st.gen)
@@ -177,26 +196,27 @@ def render_wavefront(
 
         # Flush at most one completed generation per iteration (retirement
         # rate is ~B/E[depth] items/iter, far below one generation/iter).
-        do_flush = g_flush <= watermark
-        gsafe = jnp.where(do_flush, g_flush, 0)
-        row = ring[gsafe % K]
-        out = jax.lax.cond(
-            do_flush,
-            lambda o: jax.lax.dynamic_update_slice(o, row, (gsafe * B, vzero)),
-            lambda o: o,
-            out,
-        )
-        # Clear the flushed slot with a single-slot write (rewrites the same
-        # row when not flushing) — a full-ring masked select here would read
-        # and write all K*B*3 ring floats every iteration.
-        cleared = jnp.where(do_flush, 0.0, row)[None]
-        ring = jax.lax.dynamic_update_slice(ring, cleared, (gsafe % K, vzero, vzero))
-        g_flush = g_flush + do_flush.astype(jnp.int32)
+        with jax.named_scope("wf_flush"):
+            do_flush = g_flush <= watermark
+            gsafe = jnp.where(do_flush, g_flush, 0)
+            row = ring[gsafe % K]
+            out = jax.lax.cond(
+                do_flush,
+                lambda o: jax.lax.dynamic_update_slice(o, row, (gsafe * B, vzero)),
+                lambda o: o,
+                out,
+            )
+            # Clear the flushed slot with a single-slot write (rewrites the same
+            # row when not flushing) — a full-ring masked select here would read
+            # and write all K*B*3 ring floats every iteration.
+            cleared = jnp.where(do_flush, 0.0, row)[None]
+            ring = jax.lax.dynamic_update_slice(ring, cleared, (gsafe % K, vzero, vzero))
+            g_flush = g_flush + do_flush.astype(jnp.int32)
 
-        return st, ring, out, g_flush, nseg
+        return st, ring, out, g_flush, nseg, iters, hist
 
-    _, _, out, _, nseg = jax.lax.while_loop(
-        cond, body, (state0, ring0, out0, g_flush0, nseg0)
+    _, _, out, _, nseg, iters, hist = jax.lax.while_loop(
+        cond, body, (state0, ring0, out0, g_flush0, nseg0, nseg0, hist0)
     )
 
     # Sequential sample-major reduction — the same association order as the
@@ -207,7 +227,10 @@ def render_wavefront(
         1, num_samples, lambda i, acc: acc + per_sample[i], per_sample[0]
     )
     if with_stats:
-        return sums, {"segments": nseg}
+        stats = {"segments": nseg, "iters": iters, "lanes": B}
+        if depth_hist:
+            stats["depth_hist"] = hist
+        return sums, stats
     return sums
 
 
@@ -282,11 +305,11 @@ def render_wavefront_pallas(
     )
 
     def cond(carry):
-        _, _, _, g_flush, _ = carry
+        _, _, _, g_flush, _, _ = carry
         return g_flush < n_gens
 
     def body(carry):
-        state, ring, out, g_flush, nseg = carry
+        state, ring, out, g_flush, nseg, iters = carry
         dyn = jnp.stack(
             [g_flush, cell_start, jnp.asarray(sample_start, jnp.int32) + vzero]
         ).astype(jnp.int32)
@@ -312,10 +335,10 @@ def render_wavefront_pallas(
             cleared = jnp.where(do_flush, 0.0, rowb)
             ring[rn] = jax.lax.dynamic_update_slice(ring[rn], cleared, (slot, vzero, vzero))
         g_flush = g_flush + do_flush.astype(jnp.int32)
-        return state, ring, out, g_flush, nseg
+        return state, ring, out, g_flush, nseg, iters + 1
 
-    carry0 = (state0, ring0, out0, vzero, vzero)
-    _, _, out, _, nseg = jax.lax.while_loop(cond, body, carry0)
+    carry0 = (state0, ring0, out0, vzero, vzero, vzero)
+    _, _, out, _, nseg, iters = jax.lax.while_loop(cond, body, carry0)
 
     res = jnp.stack([out["x"][:n_items], out["y"][:n_items], out["z"][:n_items]], axis=-1)
     per_sample = res.reshape(num_samples, n_cells, 3)
@@ -323,5 +346,5 @@ def render_wavefront_pallas(
         1, num_samples, lambda i, acc: acc + per_sample[i], per_sample[0]
     )
     if with_stats:
-        return sums, {"segments": nseg}
+        return sums, {"segments": nseg, "iters": iters, "lanes": B}
     return sums

@@ -127,7 +127,7 @@ def render_cells_range(scene: Scene, cfg: RenderConfig, cell_ids, sample_start, 
         return radiance(
             scene, o, d, keys,
             max_depth=cfg.max_depth, rr_depth=cfg.rr_depth,
-            epsilon=cfg.epsilon, inf=cfg.inf, loop=cfg.loop,
+            epsilon=cfg.epsilon, inf=cfg.inf, loop=cfg.loop, remat=cfg.remat,
         )
 
     def body(i, acc):

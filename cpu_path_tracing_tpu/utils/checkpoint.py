@@ -13,7 +13,10 @@ The reference keeps the whole image in RAM until the final PPM write
   refuse to resume across a mismatch.
 
 Format: a single .npz (portable, dependency-free).  Inverse-rendering
-optimizer state uses orbax (see cli.py invert).
+checkpoints (``InvertState`` below) store the optimizable params, the optax
+optimizer state and the step counter the same way, fingerprint-keyed so a
+resumed optimization continues exactly where the preempted one stopped
+(``cli.py cmd_invert --checkpoint``).
 """
 
 from __future__ import annotations
@@ -65,6 +68,80 @@ class ProgressiveState:
         )
 
 
+def _flatten_for_npz(tree) -> dict:
+    """Pytree -> {leaf_000: array, ...} (structure supplied at load time)."""
+    leaves = jax.tree.leaves(tree)
+    return {f"leaf_{i:03d}": np.asarray(jax.device_get(l)) for i, l in enumerate(leaves)}
+
+
+def _unflatten_from_npz(z, prefix: str, template):
+    """Rebuild a pytree with ``template``'s structure from saved leaves."""
+    treedef = jax.tree.structure(template)
+    t_leaves = jax.tree.leaves(template)
+    leaves = []
+    for i, tl in enumerate(t_leaves):
+        arr = z[f"{prefix}leaf_{i:03d}"]
+        leaves.append(jnp.asarray(arr, getattr(tl, "dtype", arr.dtype)))
+    return jax.tree.unflatten(treedef, leaves)
+
+
+@dataclasses.dataclass
+class InvertState:
+    """Inverse-rendering checkpoint: params + optax state + step (§5.4).
+
+    Saved as one .npz; the pytree *structures* are not serialized — they are
+    rebuilt at load time from templates (params from ``split_params``, opt
+    state from ``optimizer.init``), which is safe because the fingerprint
+    pins scene/config/fields so the structures are identical by construction.
+    """
+
+    params: object
+    opt_state: object
+    step: int
+    fingerprint: str
+
+    def save(self, path: str) -> None:
+        payload = {f"params_{k}": v for k, v in _flatten_for_npz(self.params).items()}
+        payload.update({f"opt_{k}": v for k, v in _flatten_for_npz(self.opt_state).items()})
+        tmp = path + ".tmp"
+        np.savez(tmp, step=self.step, fingerprint=self.fingerprint, **payload)
+        os.replace(tmp + ".npz" if not tmp.endswith(".npz") else tmp, path)
+
+    @staticmethod
+    def load(path: str, params_template, opt_state_template) -> "InvertState":
+        z = np.load(path, allow_pickle=False)
+        return InvertState(
+            params=_unflatten_from_npz(z, "params_", params_template),
+            opt_state=_unflatten_from_npz(z, "opt_", opt_state_template),
+            step=int(z["step"]),
+            fingerprint=str(z["fingerprint"]),
+        )
+
+
+def invert_fingerprint(scene: Scene, cfg: RenderConfig, fields, lr: float) -> str:
+    """Fingerprint for inverse-mode checkpoints: the render fingerprint plus
+    everything that shapes the optimization trajectory."""
+    h = hashlib.sha256()
+    h.update(_fingerprint(scene, cfg).encode())
+    h.update(json.dumps({"fields": sorted(fields), "lr": lr, "spp": cfg.spp}).encode())
+    return h.hexdigest()[:16]
+
+
+def load_or_init_invert(
+    path: Optional[str], fingerprint: str, params, opt_state
+) -> InvertState:
+    """Resume from ``path`` when it exists and matches, else a fresh state."""
+    if path and os.path.exists(path):
+        state = InvertState.load(path, params, opt_state)
+        if state.fingerprint != fingerprint:
+            raise ValueError(
+                f"invert checkpoint {path} was written for a different "
+                f"scene/config/optimizer (fingerprint {state.fingerprint} != {fingerprint})"
+            )
+        return state
+    return InvertState(params=params, opt_state=opt_state, step=0, fingerprint=fingerprint)
+
+
 def render_progressive(
     scene: Scene,
     cfg: RenderConfig,
@@ -97,24 +174,29 @@ def render_progressive(
             sums=np.zeros((cfg.num_cells, 3), np.float32), spp_done=0, fingerprint=fp
         )
 
+    from .profiling import annotate
+
     run = jax.jit(
         lambda sc, ids, start, n: render_cells_range(sc, cfg, ids, start, n),
         static_argnames=("n",),
     )
     while state.spp_done < cfg.spp:
         n = min(flush_every, cfg.spp - state.spp_done)
-        batch = run(scene, cell_ids, state.spp_done, n)
-        state.sums = state.sums + np.asarray(batch)
-        state.spp_done += n
-        if checkpoint_path:
-            state.save(checkpoint_path)
+        with annotate("render_batch"):
+            batch = run(scene, cell_ids, state.spp_done, n)
+        with annotate("checkpoint_flush"):
+            state.sums = state.sums + np.asarray(batch)
+            state.spp_done += n
+            if checkpoint_path:
+                state.save(checkpoint_path)
         if preview_path and state.spp_done < cfg.spp:
             from .image import write_png_async
 
-            partial = finalize_image(
-                jnp.asarray(state.sums) / state.spp_done, cfg
-            )
-            write_png_async(preview_path, np.asarray(partial, np.float32))
+            with annotate("preview_encode"):
+                partial = finalize_image(
+                    jnp.asarray(state.sums) / state.spp_done, cfg
+                )
+                write_png_async(preview_path, np.asarray(partial, np.float32))
         if progress:
             progress(state.spp_done, cfg.spp)
 

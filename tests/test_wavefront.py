@@ -117,3 +117,23 @@ def test_noncontiguous_cells_rejected():
     # The batch integrator accepts arbitrary id sets.
     out = render_cells_range(scene, cfg.replace(integrator="batch"), bad, 0, 1)
     assert out.shape == (4, 3)
+
+
+def test_observability_stats():
+    """Occupancy counters and the retirement depth histogram (SURVEY.md
+    §5.1/§5.5): segments == histogram mass weighted by depth, histogram mass
+    == item count, occupancy in (0, 1]."""
+    cfg = pt.RenderConfig(width=12, height=8, spp=2, max_depth=24)
+    scene = pt.get_scene("box", cfg.width, cfg.height)
+    out, stats = render_wavefront(scene, cfg, _cells(cfg), 0, 2, with_stats=True,
+                                  depth_hist=True, lanes=256)
+    segments = int(stats["segments"])
+    iters = int(stats["iters"])
+    lanes = int(stats["lanes"])
+    hist = np.asarray(stats["depth_hist"])
+    n_items = cfg.num_cells * 2
+    assert hist.sum() == n_items
+    # Each item retired at depth d contributed exactly d segments.
+    assert (hist * np.arange(1, cfg.max_depth + 1)).sum() == segments
+    occ = segments / (iters * lanes)
+    assert 0.0 < occ <= 1.0
