@@ -407,7 +407,69 @@ def cmd_bench_suite(args) -> int:
     return 0
 
 
+def cmd_bench_scaling(args) -> int:
+    """Strong-scaling efficiency harness (VERDICT r1 next-round #6): the same
+    fixed workload rendered on meshes of 1, 2, 4, ... devices (tiles axis);
+    reports wall time, Mrays/s, and efficiency vs linear scaling from one
+    device.  On a multi-host pod this is the artifact for the BASELINE.md
+    ">=90% linear rays/s to 2 hosts" target; locally it runs on the virtual
+    CPU mesh (XLA_FLAGS=--xla_force_host_platform_device_count=8
+    JAX_PLATFORMS=cpu) — a correctness/plumbing gate, not a hardware-scaling
+    measurement, since virtual devices share the same host cores.
+    """
+    from .parallel.mesh import make_mesh
+    from .parallel.render import render_cells_sharded
+
+    devices = jax.devices()
+    counts = [c for c in (1, 2, 4, 8, 16, 32, 64) if c <= len(devices)]
+    cfg = _config(args)
+    scene = _scene(args, cfg)
+
+    rows = []
+    for n in counts:
+        mesh = make_mesh(n_tiles=n, n_samples=1, devices=devices[:n])
+        f = jax.jit(lambda s: render_cells_sharded(s, cfg, mesh))
+        jax.block_until_ready(f(scene))  # compile + warm
+        best = None
+        for _ in range(args.repeats):
+            t0 = time.perf_counter()
+            jax.block_until_ready(f(scene))
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        rows.append((n, best))
+        camera_rays = cfg.num_cells * cfg.spp
+        t1 = rows[0][1]
+        rec = {
+            "devices": n,
+            "seconds": round(best, 4),
+            "camera_mrays_per_s": round(camera_rays / best / 1e6, 2),
+            "speedup": round(t1 / best, 3),
+            "efficiency_vs_linear": round(t1 / (n * best), 4),
+        }
+        print(json.dumps(rec), flush=True)
+
+    dev = jax.devices()[0]
+    lines = [
+        f"# Strong scaling — {args.scene} {cfg.width}x{cfg.height}@{cfg.total_spp} "
+        f"total spp on {dev.device_kind} ({jax.default_backend()})",
+        "",
+        "| devices | wall s | speedup | efficiency vs linear |",
+        "|---|---|---|---|",
+    ]
+    t1 = rows[0][1]
+    for n, dt in rows:
+        lines.append(f"| {n} | {dt:.3f} | {t1 / dt:.2f}x | {100 * t1 / (n * dt):.1f}% |")
+    report = "\n".join(lines) + "\n"
+    if args.suite_out:
+        with open(args.suite_out, "w") as fh:
+            fh.write(report)
+    print(report, file=sys.stderr)
+    return 0
+
+
 def cmd_bench(args) -> int:
+    if args.scaling:
+        return cmd_bench_scaling(args)
     if args.suite:
         return cmd_bench_suite(args)
     from .ops.wavefront import render_wavefront, render_wavefront_pallas
@@ -502,6 +564,8 @@ def main(argv=None) -> int:
     pb.add_argument("--suite-scale", type=int, default=1,
                     help="divide matrix spp by this (for CPU smoke runs)")
     pb.add_argument("--suite-out", default=None, help="write the markdown table here")
+    pb.add_argument("--scaling", action="store_true",
+                    help="strong-scaling efficiency over 1,2,4,... device meshes")
     pb.set_defaults(fn=cmd_bench)
 
     args = ap.parse_args(argv)

@@ -19,12 +19,22 @@ Root-selection semantics match the reference exactly: nearest root ``>=
 epsilon``, else the far root, else miss (``src/sphere.cpp:19-28``); ties across
 spheres keep the lowest index (``src/main.cpp:34-39`` strict ``d < t`` forward
 scan == first-occurrence argmin).
+
+TPU precision note: every contraction here carries
+``precision=Precision.HIGHEST``.  XLA-TPU lowers default-precision
+einsum/matmul onto the MXU in bfloat16 (8 mantissa bits) — catastrophic for
+the intersection quadratic and silently wrong for the property gather (1.92
+-> bf16 rounding) — which made the XLA integrators diverge from the Pallas
+kernel and the CPU oracle on device (caught by scripts/tpu_smoke.py, round
+2).  HIGHEST forces full-f32 accumulation; the contractions are tiny (c=3,
+N<=~100), so the cost is negligible next to the elementwise quadratic.
 """
 
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+from jax.lax import Precision
 
 from ..models.scene import Scene
 
@@ -48,11 +58,11 @@ def intersect_scene(scene: Scene, origins, directions, epsilon=1e-4, inf=1e20):
 
     q = origins[:, None, :] - p0[None, :, :]  # [B,N,3] unit scale
     a = jnp.sum(directions * directions, axis=-1)  # [B]
-    qd = jnp.einsum("bnc,bc->bn", q, directions)  # [B,N]
-    add = jnp.einsum("nc,bc->bn", ad, directions)  # [B,N]
+    qd = jnp.einsum("bnc,bc->bn", q, directions, precision=Precision.HIGHEST)  # [B,N]
+    add = jnp.einsum("nc,bc->bn", ad, directions, precision=Precision.HIGHEST)  # [B,N]
     b = qd + r[None, :] * add  # oc.d
     qq = jnp.sum(q * q, axis=-1)  # [B,N]
-    qad = jnp.einsum("bnc,nc->bn", q, ad)  # [B,N]
+    qad = jnp.einsum("bnc,nc->bn", q, ad, precision=Precision.HIGHEST)  # [B,N]
     c = qq + 2.0 * r[None, :] * qad  # oc.oc - r^2, cancellation-free
 
     disc = b * b - a[:, None] * c
@@ -116,7 +126,9 @@ def sphere_props(scene: Scene, hit_id) -> SphereProps:
         axis=1,
     )  # [N,16]
     onehot = (hit_id[:, None] == jnp.arange(n, dtype=hit_id.dtype)[None, :]).astype(dtype)
-    props = onehot @ table  # [B,16]
+    # HIGHEST: the default would run on the MXU in bf16 and round the gathered
+    # scene constants (see module docstring).
+    props = jnp.matmul(onehot, table, precision=Precision.HIGHEST)  # [B,16]
     return SphereProps(
         p0=props[:, 0:3],
         anchor_dir=props[:, 3:6],

@@ -19,7 +19,12 @@ all aliased in-place (input_output_aliases) so the surrounding
 lax.while_loop carries no copies.  The scalar sphere table and camera frame
 live in SMEM.  Everything the kernel computes matches the jnp reference
 implementation (ops/integrator.py bounce_step + ops/wavefront.py) — parity
-is enforced by tests in interpret mode and on device.
+is enforced bitwise by interpret-mode tests (tests/test_wavefront.py) and
+on the real chip by scripts/tpu_smoke.py.  On-device parity is exact up to
+Mosaic-vs-XLA f32 contraction (measured ~1 lane in 10^4 per bounce lands on
+the other side of a discrete lottery, chaotically decorrelating that sample
+over a 100-bounce path), so the device gate is strict at low depth and
+statistical at full depth — see the tpu_smoke.py docstring.
 
 Reference semantics cited inline map to src/main.cpp:104-158 (radiance loop),
 src/camera.cpp:32-38 (thin lens), src/sphere.cpp:6-30 (roots).
@@ -403,12 +408,12 @@ def make_kernel(cfg: RenderConfig, *, n_spheres: int, n_cells: int, n_items: int
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "n_spheres", "n_cells", "n_items", "n_gens",
-                     "lanes", "ring_depth", "rows", "interpret"),
+                     "lanes", "ring_depth", "rows", "interpret", "alias"),
 )
 def megakernel_step(state: dict, ring: dict, table, cam, dyn, *, cfg: RenderConfig,
                     n_spheres: int, n_cells: int, n_items: int, n_gens: int,
                     lanes: int, ring_depth: int, rows: int = DEFAULT_ROWS,
-                    interpret: bool = False):
+                    interpret: bool = False, alias: bool = True):
     """Run one fused wavefront iteration.
 
     Args:
@@ -454,8 +459,10 @@ def megakernel_step(state: dict, ring: dict, table, cam, dyn, *, cfg: RenderConf
 
     n_state = len(STATE_NAMES)
     # inputs: 0=table 1=cam 2=dyn, 3..3+n_state-1 = state, then 3 rings
-    aliases = {3 + i: i for i in range(n_state)}
-    aliases.update({3 + n_state + i: n_state + i for i in range(3)})
+    aliases = {}
+    if alias:
+        aliases = {3 + i: i for i in range(n_state)}
+        aliases.update({3 + n_state + i: n_state + i for i in range(3)})
 
     outs = pl.pallas_call(
         kernel,

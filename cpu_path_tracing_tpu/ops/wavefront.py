@@ -246,6 +246,7 @@ def render_wavefront_pallas(
     rows: int | None = None,
     interpret: bool = False,
     with_stats: bool = False,
+    alias: bool = True,
 ):
     """render_wavefront with the fused Pallas megakernel as the loop body.
 
@@ -253,7 +254,11 @@ def render_wavefront_pallas(
     as ONE pallas_call over SoA lane tiles (ops/pallas/megakernel.py), with
     only the watermark min-reduce, the flush slice and the loop carry left to
     XLA.  f32 only.  Draws are bit-identical to the XLA wavefront (same
-    Threefry blocks), so results agree to fp-contraction noise.
+    Threefry blocks); per-sample results agree to fp-contraction noise at low
+    bounce depth, while at depth ~100 contraction differences occasionally
+    flip a discrete lottery and chaotically decorrelate that sample — the
+    estimator is unchanged, so full-depth parity is statistical (gated
+    on-device by scripts/tpu_smoke.py).
     """
     from .pallas.megakernel import (
         LANE,
@@ -302,6 +307,7 @@ def render_wavefront_pallas(
     kw = dict(
         cfg=cfg, n_spheres=scene.num_spheres, n_cells=n_cells, n_items=n_items,
         n_gens=n_gens, lanes=B, ring_depth=K, rows=rows, interpret=interpret,
+        alias=alias,
     )
 
     def cond(carry):

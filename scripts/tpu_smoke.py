@@ -1,0 +1,173 @@
+"""On-device Pallas parity + perf gate (VERDICT r1 next-round #2).
+
+Runs on the real TPU chip (no JAX_PLATFORMS override) and, for EVERY
+registered scene, checks that the three integrators agree on-device:
+
+    batch (fori over samples, while bounce loop)
+  == XLA wavefront (persistent lanes, generation-striped ring)
+  == Pallas megakernel (fused SoA kernel, ops/pallas/megakernel.py)
+
+closing the megakernel docstring's "parity ... on device" claim, which the
+CPU-only test suite (tests/conftest.py forces JAX_PLATFORMS=cpu) cannot
+check.
+
+Parity semantics (measured, not assumed): the threefry draws are
+bit-identical by construction, but Mosaic and XLA contract f32 ops
+differently (FMA/rsqrt lowering), so ~1 lane in 10^4 per bounce lands on the
+other side of a discrete lottery (Schlick choice, argmin tie); over
+max_depth=100 this chaotically decorrelates individual path samples.  Both
+realizations sample the same estimator, so the gate is two-tier:
+
+  1. STRICT at low depth (max_depth=8): scale-aware per-cell agreement for
+     the overwhelming majority of cells, catching any real logic bug;
+  2. STATISTICAL at full depth (max_depth=100): the pallas-vs-wavefront
+     deviation must not exceed ~the deviation of an independent-seed
+     wavefront render (the Monte-Carlo noise yardstick), and global means
+     must match to <1%.
+
+Also times the Pallas path per scene (small config — the full benchmark
+matrix is `python -m cpu_path_tracing_tpu.cli bench --suite`) and writes the
+artifact TPU_SMOKE.md at the repo root.
+
+Usage:  python scripts/tpu_smoke.py [--width 96] [--height 64] [--spp 4]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import cpu_path_tracing_tpu as pt
+from cpu_path_tracing_tpu.ops.wavefront import render_wavefront, render_wavefront_pallas
+from cpu_path_tracing_tpu.render import render_cells_range
+
+
+def _scale_aware(a, b):
+    """Elementwise |a-b| / max(|a|,|b|,1)."""
+    scale = np.maximum(np.abs(a), np.maximum(np.abs(b), 1.0))
+    return np.abs(a - b) / scale
+
+
+def run(width: int, height: int, spp: int, out_path: str) -> int:
+    dev = jax.devices()[0]
+    on_tpu = dev.platform == "tpu"
+    print(f"device: {dev} ({dev.device_kind}); tpu={on_tpu}", file=sys.stderr)
+    if not on_tpu:
+        print("WARNING: not a TPU — the pallas path will run interpreted", file=sys.stderr)
+
+    rows = []
+    failures = 0
+    for name in pt.scene_names():
+        scene = pt.get_scene(name, width, height)
+        rec = {"scene": name, "spheres": int(scene.num_spheres)}
+
+        # ---- tier 1: strict parity at low depth --------------------------
+        lo = pt.RenderConfig(width=width, height=height, spp=spp, max_depth=8,
+                             wavefront_lanes=1 << 16)
+        ids = jnp.arange(lo.num_cells, dtype=jnp.int32)
+        batch = np.asarray(jax.jit(
+            lambda s, i: render_cells_range(s, lo.replace(integrator="batch"), i, 0, spp)
+        )(scene, ids))
+        wave = np.asarray(jax.jit(
+            lambda s, i: render_wavefront(s, lo, i, 0, spp)
+        )(scene, ids))
+        pal = np.asarray(jax.jit(
+            lambda s, i: render_wavefront_pallas(s, lo, i, 0, spp)
+        )(scene, ids))
+        d_wb = float(np.max(_scale_aware(wave, batch)))
+        d_pw = _scale_aware(pal, wave)
+        rec["lowdepth_wavefront_vs_batch_max"] = d_wb
+        rec["lowdepth_pallas_vs_wavefront_p999"] = float(np.quantile(d_pw, 0.999))
+        rec["lowdepth_pallas_vs_wavefront_flipped_frac"] = float((d_pw > 1e-3).mean())
+        ok_lo = (
+            d_wb < 2e-5
+            and rec["lowdepth_pallas_vs_wavefront_p999"] < 1e-3
+            and rec["lowdepth_pallas_vs_wavefront_flipped_frac"] < 5e-3
+        )
+
+        # ---- tier 2: statistical parity at full depth --------------------
+        hi = lo.replace(max_depth=100)
+        wave_hi = np.asarray(jax.jit(
+            lambda s, i: render_wavefront(s, hi, i, 0, spp)
+        )(scene, ids))
+        # Independent-seed wavefront render = the Monte-Carlo noise yardstick.
+        wave_alt = np.asarray(jax.jit(
+            lambda s, i: render_wavefront(s, hi.replace(seed=1234), i, 0, spp)
+        )(scene, ids))
+        pal_fn = jax.jit(
+            lambda s, i: render_wavefront_pallas(s, hi, i, 0, spp, with_stats=True)
+        )
+        t0 = time.perf_counter()
+        pal_hi, stats = pal_fn(scene, ids)
+        pal_hi = np.asarray(jax.block_until_ready(pal_hi))
+        compile_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        out, stats = pal_fn(scene, ids)
+        jax.block_until_ready(out)
+        dt = time.perf_counter() - t0
+        segments = int(stats["segments"])
+
+        err_pal = float(np.mean(_scale_aware(pal_hi, wave_hi)))
+        err_seed = float(np.mean(_scale_aware(wave_alt, wave_hi)))
+        mean_ratio = float(pal_hi.mean() / max(wave_hi.mean(), 1e-12))
+        rec["fulldepth_mean_dev_pallas"] = err_pal
+        rec["fulldepth_mean_dev_independent_seed"] = err_seed
+        rec["fulldepth_mean_ratio"] = mean_ratio
+        ok_hi = err_pal <= 1.5 * err_seed + 1e-6 and abs(mean_ratio - 1.0) < 0.01
+
+        rec["ok"] = bool(ok_lo and ok_hi)
+        rec["pallas_mrays_per_s"] = round(segments / dt / 1e6, 1)
+        rec["pallas_compile_s"] = round(compile_s, 1)
+        failures += 0 if rec["ok"] else 1
+        rows.append(rec)
+        print(json.dumps(rec), flush=True)
+
+    lines = [
+        f"# TPU on-device parity smoke — {dev.device_kind} ({dev.platform})",
+        "",
+        f"Config: {width}x{height} @ {spp} spp/cell, f32.  Two-tier gate (see",
+        "scripts/tpu_smoke.py docstring): strict scale-aware parity at",
+        "max_depth=8; statistical parity at max_depth=100 where Mosaic/XLA",
+        "fp-contraction differences chaotically decorrelate single samples —",
+        "the pallas deviation must stay within 1.5x the independent-seed",
+        "Monte-Carlo yardstick and global means within 1%.",
+        "",
+        "| scene | spheres | wf vs batch (max) | pallas p99.9 @d8 | flipped frac @d8 "
+        "| pallas dev @d100 | seed yardstick @d100 | mean ratio | ok | Mrays/s | compile s |",
+        "|---|---|---|---|---|---|---|---|---|---|---|",
+    ]
+    for r in rows:
+        lines.append(
+            f"| {r['scene']} | {r['spheres']} | {r['lowdepth_wavefront_vs_batch_max']:.1e} | "
+            f"{r['lowdepth_pallas_vs_wavefront_p999']:.1e} | "
+            f"{r['lowdepth_pallas_vs_wavefront_flipped_frac']:.1e} | "
+            f"{r['fulldepth_mean_dev_pallas']:.2e} | "
+            f"{r['fulldepth_mean_dev_independent_seed']:.2e} | "
+            f"{r['fulldepth_mean_ratio']:.4f} | {'yes' if r['ok'] else 'NO'} | "
+            f"{r['pallas_mrays_per_s']} | {r['pallas_compile_s']} |"
+        )
+    lines.append("")
+    with open(out_path, "w") as fh:
+        fh.write("\n".join(lines))
+    print(f"wrote {out_path}; failures={failures}", file=sys.stderr)
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--width", type=int, default=96)
+    ap.add_argument("--height", type=int, default=64)
+    ap.add_argument("--spp", type=int, default=4)
+    ap.add_argument("--out", default=os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "TPU_SMOKE.md"))
+    a = ap.parse_args()
+    raise SystemExit(run(a.width, a.height, a.spp, a.out))
