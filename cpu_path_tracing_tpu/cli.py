@@ -221,7 +221,8 @@ def cmd_invert(args) -> int:
     optimizer = optax.adam(args.lr)
     opt_state = optimizer.init(params)
 
-    fp = invert_fingerprint(scene, cfg, fields, args.lr)
+    fp = invert_fingerprint(scene, cfg, fields, args.lr,
+                            cell_chunk=args.cell_chunk, sample_chunk=args.sample_chunk)
     state = load_or_init_invert(args.checkpoint, fp, params, opt_state)
     if state.step:
         print(f"resumed from {args.checkpoint} at step {state.step}", file=sys.stderr)
@@ -439,6 +440,9 @@ def cmd_bench_scaling(args) -> int:
         rows.append((n, best))
         camera_rays = cfg.num_cells * cfg.spp
         t1 = rows[0][1]
+        # NOTE: camera rays (cells x spp), NOT path segments — this field is
+        # a fixed-workload rate for relative efficiency only and is not
+        # comparable to the headline segments-based Mrays/s (bench.py).
         rec = {
             "devices": n,
             "seconds": round(best, 4),
@@ -452,6 +456,23 @@ def cmd_bench_scaling(args) -> int:
     lines = [
         f"# Strong scaling — {args.scene} {cfg.width}x{cfg.height}@{cfg.total_spp} "
         f"total spp on {dev.device_kind} ({jax.default_backend()})",
+        "",
+        "Fixed workload, tiles-axis mesh 1..N devices.  Rates are camera",
+        "rays/s (cells x spp / wall), not path segments/s — relative",
+        "efficiency only; not comparable to the headline Mrays/s.",
+        *(
+            [
+                "",
+                "CAVEAT: cpu backend = N *virtual* devices timesharing one",
+                "host's cores (xla_force_host_platform_device_count), so wall",
+                "time CANNOT improve with device count — this run is a",
+                "correctness/plumbing gate for the sharded path at every mesh",
+                "size, not a hardware-scaling measurement.  Interpret the",
+                "efficiency column only on a real multi-chip slice.",
+            ]
+            if jax.default_backend() == "cpu"
+            else []
+        ),
         "",
         "| devices | wall s | speedup | efficiency vs linear |",
         "|---|---|---|---|",

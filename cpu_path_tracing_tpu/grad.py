@@ -86,31 +86,54 @@ def make_diff_render(scene: Scene, cfg: RenderConfig, sample_chunk: Optional[int
       O(cells x sample_chunk x max_depth x |RayState|) instead of
       O(cells x spp x max_depth x all-intermediates).
 
-    Both sides evaluate the identical estimator (the wavefront and batch
-    integrators are bitwise-equal by test), so the returned gradients match
-    end-to-end ``jax.grad`` of the scan path exactly.
+    Both sides evaluate the identical estimator; on CPU / XLA integrators the
+    wavefront and batch paths are bitwise-equal by test, so the returned
+    gradients match end-to-end ``jax.grad`` of the scan path exactly.  With
+    ``integrator='auto'/'pallas'`` on TPU, the primal (hence the loss
+    cotangent fed to the VJP) matches the batch path only statistically at
+    full depth — Mosaic/XLA fp-contraction differences decorrelate a tiny
+    fraction of samples (see ops/pallas/megakernel.py), well below MC noise.
 
     Returns ``render_mean(params, cell_ids) -> [B,3]`` (jit-compatible,
     reverse-differentiable w.r.t. ``params``).  ``cell_ids`` must be a
     contiguous span (wavefront contract, render.py).
     """
     S = cfg.spp
-    chunk = sample_chunk or S
-    if S % chunk:
-        raise ValueError(f"sample_chunk={chunk} must divide spp={S}")
+    render_sum = make_diff_render_span(scene, cfg, S, sample_chunk)
+
+    def render_mean(params, cell_ids):
+        return render_sum(params, cell_ids, 0) / S
+
+    return render_mean
+
+
+def make_diff_render_span(scene: Scene, cfg: RenderConfig, spp_span: int,
+                          sample_chunk: Optional[int] = None):
+    """Differentiable per-cell radiance SUM over the ``spp_span`` samples
+    starting at a (traced) ``sample_start`` — the span-parameterized core of
+    ``make_diff_render``, reusable per sample-axis shard (each mesh shard
+    renders its own sample range; see ``make_sharded_accum_train_step``).
+
+    Returns ``render_sum(params, cell_ids, sample_start) -> [B,3]`` with the
+    decoupled forward (fast wavefront) / backward (sample-chunked remat scan)
+    described in ``make_diff_render``.
+    """
+    chunk = sample_chunk or spp_span
+    if spp_span % chunk:
+        raise ValueError(f"sample_chunk={chunk} must divide span={spp_span}")
     fwd_cfg = cfg.replace(loop="while")
     bwd_cfg = cfg.replace(loop="scan", integrator="batch", remat=True)
 
     @jax.custom_vjp
-    def render_mean(params, cell_ids):
+    def render_sum(params, cell_ids, sample_start):
         sc = merge_params(scene, params)
-        return render_cells_range(sc, fwd_cfg, cell_ids, 0, S) / S
+        return render_cells_range(sc, fwd_cfg, cell_ids, sample_start, spp_span)
 
-    def fwd(params, cell_ids):
-        return render_mean(params, cell_ids), (params, cell_ids)
+    def fwd(params, cell_ids, sample_start):
+        return render_sum(params, cell_ids, sample_start), (params, cell_ids, sample_start)
 
     def bwd(res, ct):
-        params, cell_ids = res
+        params, cell_ids, sample_start = res
 
         def chunk_grad(s0):
             def f(p):
@@ -123,14 +146,20 @@ def make_diff_render(scene: Scene, cfg: RenderConfig, sample_chunk: Optional[int
 
         g0 = jax.tree.map(jnp.zeros_like, params)
         g = jax.lax.fori_loop(
-            0, S // chunk, lambda i, acc: jax.tree.map(jnp.add, acc, chunk_grad(i * chunk)), g0
+            0, spp_span // chunk,
+            lambda i, acc: jax.tree.map(jnp.add, acc, chunk_grad(sample_start + i * chunk)),
+            g0,
         )
-        g = jax.tree.map(lambda x: x / S, g)
-        # cell_ids is integer-typed: its cotangent is symbolically zero.
-        return g, np.zeros(ct.shape[:1], dtype=jax.dtypes.float0)
+        # cell_ids / sample_start are integer-typed: cotangents are
+        # symbolically zero.
+        return (
+            g,
+            np.zeros(ct.shape[:1], dtype=jax.dtypes.float0),
+            np.zeros((), dtype=jax.dtypes.float0),
+        )
 
-    render_mean.defvjp(fwd, bwd)
-    return render_mean
+    render_sum.defvjp(fwd, bwd)
+    return render_sum
 
 
 def make_accum_train_step(scene: Scene, cfg: RenderConfig, optimizer, *,
@@ -174,6 +203,91 @@ def make_accum_train_step(scene: Scene, cfg: RenderConfig, optimizer, *,
             stop = min(start + cc, n)
             ids = jnp.arange(start, stop, dtype=jnp.int32)
             l, g = chunk_loss_grad(params, ids, targets[start:stop])
+            sq_sum = l if sq_sum is None else sq_sum + l
+            grads = g if grads is None else jax.tree.map(jnp.add, grads, g)
+        return finalize(params, opt_state, sq_sum, grads)
+
+    return step
+
+
+def make_sharded_accum_train_step(mesh, scene: Scene, cfg: RenderConfig, optimizer, *,
+                                  cell_chunk: Optional[int] = None,
+                                  sample_chunk: Optional[int] = None):
+    """Mesh-parallel inverse rendering at production scale (VERDICT r2 #5):
+    the composition of ``make_accum_train_step``'s memory machinery (host
+    loop over cell chunks; sample-chunked rematerialized backward) with the
+    SURVEY §5.8 collective layout (cells sharded over 'tiles', sample range
+    sharded over 'samples', scene/params replicated, grads psum-reduced).
+
+    Per optimizer step, each device sees ``cell_chunk/n_tiles`` cells x
+    ``spp/n_samples/sample_chunk`` recompute chunks — peak activation memory
+    is O(cell_chunk/n_tiles x sample_chunk x max_depth x |RayState|)
+    regardless of image size or total spp, so the BASELINE inverse config
+    (box 400x400 @ 64spp, max_depth 100) fits any chip count.
+
+    Returns ``step(params, opt_state, targets) -> (params, opt_state, loss)``
+    with ``targets`` the full [num_cells,3] mean-radiance target and ``loss``
+    the exact full-image MSE.  The update is identical to the single-chip
+    ``make_accum_train_step`` up to f32 summation order (partial sums are
+    psum'd across shards instead of sequentially accumulated).
+    """
+    n = cfg.num_cells
+    n_tiles = mesh.shape[TILE_AXIS]
+    n_samp = mesh.shape[SAMPLE_AXIS]
+    if cfg.spp % n_samp:
+        raise ValueError(f"spp={cfg.spp} not divisible by sample axis {n_samp}")
+    spp_local = cfg.spp // n_samp
+    # Each cell chunk is split evenly across the tile axis.
+    cc = min(cell_chunk or n, n)
+    cc = -(-cc // n_tiles) * n_tiles
+    render_sum = make_diff_render_span(scene, cfg, spp_local, sample_chunk)
+
+    def shard_fn(params, cell_ids, target, mask):
+        cell_ids = jax.lax.pcast(cell_ids, SAMPLE_AXIS, to="varying")
+
+        def local_loss(p):
+            s0 = jax.lax.axis_index(SAMPLE_AXIS) * spp_local
+            cells = render_sum(p, cell_ids, s0)
+            cells = jax.lax.psum(cells, SAMPLE_AXIS) / cfg.spp
+            return jnp.sum(mask[:, None] * (cells - target) ** 2)
+
+        sq, grads = jax.value_and_grad(local_loss)(params)
+        # Sum of squared errors decomposes over tile shards; every sample
+        # shard already saw the full sample psum, so pmean (not psum) there.
+        sq = jax.lax.psum(sq, TILE_AXIS)
+        grads = jax.lax.psum(grads, TILE_AXIS)
+        grads = jax.lax.pmean(grads, SAMPLE_AXIS)
+        return sq, grads
+
+    sharded_chunk = jax.jit(jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(), P(TILE_AXIS), P(TILE_AXIS), P(TILE_AXIS)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    ))
+
+    @jax.jit
+    def finalize(params, opt_state, sq_sum, grads):
+        denom = jnp.asarray(3 * n, sq_sum.dtype)
+        grads = jax.tree.map(lambda g: g / denom, grads)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = jax.tree.map(lambda p, u: p + u, params, updates)
+        return params, opt_state, sq_sum / denom
+
+    def step(params, opt_state, targets):
+        sq_sum = None
+        grads = None
+        targets = jnp.asarray(targets)
+        for start in range(0, n, cc):
+            # Pad the last chunk with ids CONTINUING past n: the wavefront
+            # contract needs a contiguous span, and off-screen cells render
+            # fine (rays past the viewport edge); the mask zeroes their loss
+            # and gradient contribution.
+            ids = np.arange(start, start + cc, dtype=np.int32)
+            mask = (ids < n).astype(np.float32)
+            tgt = targets[np.minimum(ids, n - 1)]
+            l, g = sharded_chunk(params, jnp.asarray(ids), tgt, jnp.asarray(mask))
             sq_sum = l if sq_sum is None else sq_sum + l
             grads = g if grads is None else jax.tree.map(jnp.add, grads, g)
         return finalize(params, opt_state, sq_sum, grads)

@@ -215,8 +215,9 @@ def render_wavefront(
 
         return st, ring, out, g_flush, nseg, iters, hist
 
+    iters0 = nseg0 * 0  # same varying-zero provenance, own named initializer
     _, _, out, _, nseg, iters, hist = jax.lax.while_loop(
-        cond, body, (state0, ring0, out0, g_flush0, nseg0, nseg0, hist0)
+        cond, body, (state0, ring0, out0, g_flush0, nseg0, iters0, hist0)
     )
 
     # Sequential sample-major reduction — the same association order as the

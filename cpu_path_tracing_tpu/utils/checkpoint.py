@@ -118,12 +118,17 @@ class InvertState:
         )
 
 
-def invert_fingerprint(scene: Scene, cfg: RenderConfig, fields, lr: float) -> str:
+def invert_fingerprint(scene: Scene, cfg: RenderConfig, fields, lr: float,
+                       cell_chunk=None, sample_chunk=None) -> str:
     """Fingerprint for inverse-mode checkpoints: the render fingerprint plus
-    everything that shapes the optimization trajectory."""
+    everything that shapes the optimization trajectory.  The accumulation
+    chunk sizes are included because a resume under different chunking
+    reorders float accumulation — the continued trajectory is bitwise-exact
+    only under unchanged chunking."""
     h = hashlib.sha256()
     h.update(_fingerprint(scene, cfg).encode())
-    h.update(json.dumps({"fields": sorted(fields), "lr": lr, "spp": cfg.spp}).encode())
+    h.update(json.dumps({"fields": sorted(fields), "lr": lr, "spp": cfg.spp,
+                         "cell_chunk": cell_chunk, "sample_chunk": sample_chunk}).encode())
     return h.hexdigest()[:16]
 
 

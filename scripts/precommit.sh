@@ -4,6 +4,13 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
+echo "== repo hygiene =="
+if git ls-files | grep -q '^_'; then
+    echo "ERROR: root-level _* scratch files are not allowed:" >&2
+    git ls-files | grep '^_' | grep -v '^__graft_entry__' >&2 || true
+    git ls-files | grep '^_' | grep -vq '^__graft_entry__' && exit 1
+fi
+
 echo "== compile check =="
 python -m compileall -q cpu_path_tracing_tpu tests bench.py __graft_entry__.py
 

@@ -25,9 +25,10 @@ realizations sample the same estimator, so the gate is two-tier:
      wavefront render (the Monte-Carlo noise yardstick), and global means
      must match to <1%.
 
-Also times the Pallas path per scene (small config — the full benchmark
-matrix is `python -m cpu_path_tracing_tpu.cli bench --suite`) and writes the
-artifact TPU_SMOKE.md at the repo root.
+Writes the artifact TPU_SMOKE.md at the repo root.  No per-scene perf column:
+at the small gate config fixed per-iteration overheads dominate and the
+number misleads — the perf artifact is `python -m cpu_path_tracing_tpu.cli
+bench --suite` (BENCH_SUITE.md) at production shapes.
 
 Usage:  python scripts/tpu_smoke.py [--width 96] [--height 64] [--spp 4]
 """
@@ -57,16 +58,31 @@ def _scale_aware(a, b):
     return np.abs(a - b) / scale
 
 
-def run(width: int, height: int, spp: int, out_path: str) -> int:
+def run(width: int, height: int, spp: int, out_path: str, state_path: str | None = None) -> int:
     dev = jax.devices()[0]
     on_tpu = dev.platform == "tpu"
     print(f"device: {dev} ({dev.device_kind}); tpu={on_tpu}", file=sys.stderr)
     if not on_tpu:
         print("WARNING: not a TPU — the pallas path will run interpreted", file=sys.stderr)
 
+    # Incremental state: the axon tunnel dies unpredictably mid-run, so each
+    # scene's verdict is persisted as soon as it is measured and green scenes
+    # are skipped on re-run (the watchdog loops this script until rc==0).
+    state: dict = {}
+    if state_path and os.path.exists(state_path):
+        with open(state_path) as fh:
+            state = json.load(fh)
+        if state.get("config") != [width, height, spp]:
+            state = {}
+
     rows = []
     failures = 0
     for name in pt.scene_names():
+        prev = state.get("scenes", {}).get(name)
+        if prev and prev.get("ok"):
+            rows.append(prev)
+            print(f"{name}: cached green result, skipping", file=sys.stderr)
+            continue
         scene = pt.get_scene(name, width, height)
         rec = {"scene": name, "spheres": int(scene.num_spheres)}
 
@@ -110,26 +126,36 @@ def run(width: int, height: int, spp: int, out_path: str) -> int:
         pal_hi, stats = pal_fn(scene, ids)
         pal_hi = np.asarray(jax.block_until_ready(pal_hi))
         compile_s = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        out, stats = pal_fn(scene, ids)
-        jax.block_until_ready(out)
-        dt = time.perf_counter() - t0
         segments = int(stats["segments"])
 
         err_pal = float(np.mean(_scale_aware(pal_hi, wave_hi)))
         err_seed = float(np.mean(_scale_aware(wave_alt, wave_hi)))
-        mean_ratio = float(pal_hi.mean() / max(wave_hi.mean(), 1e-12))
+        # Per-channel means (VERDICT r2 weak #8: a global mean can hide a
+        # single-channel bias behind the other two channels).
+        ch_ratio = pal_hi.reshape(-1, 3).mean(0) / np.maximum(
+            wave_hi.reshape(-1, 3).mean(0), 1e-12)
         rec["fulldepth_mean_dev_pallas"] = err_pal
         rec["fulldepth_mean_dev_independent_seed"] = err_seed
-        rec["fulldepth_mean_ratio"] = mean_ratio
-        ok_hi = err_pal <= 1.5 * err_seed + 1e-6 and abs(mean_ratio - 1.0) < 0.01
+        rec["fulldepth_channel_mean_ratios"] = [round(float(r), 4) for r in ch_ratio]
+        ok_hi = err_pal <= 1.5 * err_seed + 1e-6 and bool(
+            np.all(np.abs(ch_ratio - 1.0) < 0.01))
 
         rec["ok"] = bool(ok_lo and ok_hi)
-        rec["pallas_mrays_per_s"] = round(segments / dt / 1e6, 1)
+        # No per-scene Mrays/s column: at this gate config (~2^17 items vs
+        # the production 2^19-lane pool) fixed per-iteration overheads
+        # dominate and the number misleads — the perf artifact is
+        # `cli bench --suite` (BENCH_SUITE.md) at production shapes.
+        rec["segments"] = segments
         rec["pallas_compile_s"] = round(compile_s, 1)
         failures += 0 if rec["ok"] else 1
         rows.append(rec)
         print(json.dumps(rec), flush=True)
+        if state_path:
+            state.setdefault("scenes", {})[name] = rec
+            state["config"] = [width, height, spp]
+            with open(state_path + ".tmp", "w") as fh:
+                json.dump(state, fh)
+            os.replace(state_path + ".tmp", state_path)
 
     lines = [
         f"# TPU on-device parity smoke — {dev.device_kind} ({dev.platform})",
@@ -139,21 +165,22 @@ def run(width: int, height: int, spp: int, out_path: str) -> int:
         "max_depth=8; statistical parity at max_depth=100 where Mosaic/XLA",
         "fp-contraction differences chaotically decorrelate single samples —",
         "the pallas deviation must stay within 1.5x the independent-seed",
-        "Monte-Carlo yardstick and global means within 1%.",
+        "Monte-Carlo yardstick and every per-channel mean within 1%.",
         "",
         "| scene | spheres | wf vs batch (max) | pallas p99.9 @d8 | flipped frac @d8 "
-        "| pallas dev @d100 | seed yardstick @d100 | mean ratio | ok | Mrays/s | compile s |",
-        "|---|---|---|---|---|---|---|---|---|---|---|",
+        "| pallas dev @d100 | seed yardstick @d100 | ch mean ratios | ok | compile s |",
+        "|---|---|---|---|---|---|---|---|---|---|",
     ]
     for r in rows:
+        ratios = "/".join(f"{x:.3f}" for x in r["fulldepth_channel_mean_ratios"])
         lines.append(
             f"| {r['scene']} | {r['spheres']} | {r['lowdepth_wavefront_vs_batch_max']:.1e} | "
             f"{r['lowdepth_pallas_vs_wavefront_p999']:.1e} | "
             f"{r['lowdepth_pallas_vs_wavefront_flipped_frac']:.1e} | "
             f"{r['fulldepth_mean_dev_pallas']:.2e} | "
             f"{r['fulldepth_mean_dev_independent_seed']:.2e} | "
-            f"{r['fulldepth_mean_ratio']:.4f} | {'yes' if r['ok'] else 'NO'} | "
-            f"{r['pallas_mrays_per_s']} | {r['pallas_compile_s']} |"
+            f"{ratios} | {'yes' if r['ok'] else 'NO'} | "
+            f"{r['pallas_compile_s']} |"
         )
     lines.append("")
     with open(out_path, "w") as fh:
@@ -169,5 +196,7 @@ if __name__ == "__main__":
     ap.add_argument("--spp", type=int, default=4)
     ap.add_argument("--out", default=os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "TPU_SMOKE.md"))
+    ap.add_argument("--state", default="/tmp/tpu_smoke_state.json",
+                    help="incremental per-scene state (tunnel-death resume); '' disables")
     a = ap.parse_args()
-    raise SystemExit(run(a.width, a.height, a.spp, a.out))
+    raise SystemExit(run(a.width, a.height, a.spp, a.out, a.state or None))

@@ -72,3 +72,20 @@ def test_bench_json(capsys):
 def test_unknown_scene_rejected():
     with pytest.raises(SystemExit):
         main(["render", "--scene", "nope"])
+
+
+def test_bench_scaling(tmp_path, capsys):
+    """The strong-scaling harness runs on the virtual mesh and writes the
+    artifact (VERDICT r2 #4: a test so it can't rot)."""
+    out = str(tmp_path / "scaling.md")
+    rc = main(
+        ["bench", "--scaling", "--scene", "box", "--width", "16", "--height", "12",
+         "--spp", "1", "--max-depth", "6", "--repeats", "1", "--suite-out", out]
+    )
+    assert rc == 0
+    recs = [json.loads(l) for l in capsys.readouterr().out.splitlines() if l.startswith("{")]
+    assert recs[0]["devices"] == 1 and recs[0]["efficiency_vs_linear"] == 1.0
+    assert len(recs) >= 2  # at least 1 and 2 devices on the 8-device mesh
+    text = open(out).read()
+    assert "efficiency vs linear" in text
+    assert "virtual" in text  # cpu-backend caveat present

@@ -75,3 +75,41 @@ def test_pallas_integrator_under_shard_map():
     img_s = np.asarray(render_image_sharded(scene, cfg, make_mesh(n_tiles=8)))
     ref = np.asarray(render_image(scene, cfg.replace(integrator="batch"), ))
     np.testing.assert_allclose(img_s, ref, atol=1e-6, rtol=1e-6)
+
+
+def test_sharded_accum_train_step_matches_single_chip():
+    """Production-scale mesh-parallel inverse step (VERDICT r2 #5): the
+    composition of the remat/sample-chunked backward with the tiles x samples
+    mesh must reproduce the single-chip accumulation step — same loss, same
+    params after one Adam update (f64 scene: psum reorder noise ~1e-15)."""
+    import optax
+
+    from cpu_path_tracing_tpu.grad import (
+        make_accum_train_step,
+        make_sharded_accum_train_step,
+        render_target,
+        split_params,
+    )
+
+    cfg = RenderConfig(width=10, height=8, spp=4, max_depth=8)
+    scene = get_scene("box", cfg.width, cfg.height, dtype=jnp.float64)
+    target = render_target(scene, cfg) * 0.9
+    params0 = split_params(scene, ("albedo", "emission"))
+    optimizer = optax.adam(1e-2)
+
+    ref_step = make_accum_train_step(scene, cfg, optimizer, cell_chunk=77, sample_chunk=2)
+    p_ref, _, l_ref = ref_step(params0, optimizer.init(params0), target)
+
+    for mesh, cc, sc_ in (
+        (make_mesh(n_tiles=8, n_samples=1), None, None),
+        (make_mesh(n_tiles=4, n_samples=2), 100, 1),
+        (make_mesh(n_tiles=2, n_samples=4), 64, None),
+    ):
+        step = make_sharded_accum_train_step(mesh, scene, cfg, optimizer,
+                                             cell_chunk=cc, sample_chunk=sc_)
+        p, _, l = step(params0, optimizer.init(params0), target)
+        assert abs(float(l) - float(l_ref)) < 1e-12, (dict(mesh.shape), float(l), float(l_ref))
+        for k in p_ref:
+            np.testing.assert_allclose(
+                np.asarray(p[k]), np.asarray(p_ref[k]), rtol=1e-9, atol=1e-12,
+                err_msg=f"mesh={dict(mesh.shape)} chunk=({cc},{sc_}) leaf={k}")
