@@ -90,6 +90,17 @@ def check_contiguous_cells(cell_ids) -> None:
         )
 
 
+def resolve_integrator(scene: Scene, cfg: RenderConfig) -> str:
+    """Resolve integrator='auto' to the concrete path for this backend/dtype
+    (pallas on TPU f32, XLA wavefront otherwise)."""
+    integ = cfg.integrator
+    if integ == "auto":
+        on_tpu = jax.default_backend() == "tpu"
+        f32 = scene.p0.dtype == jnp.float32
+        integ = "pallas" if (on_tpu and f32) else "wavefront"
+    return integ
+
+
 def render_cells_range(scene: Scene, cfg: RenderConfig, cell_ids, sample_start, num_samples: int) -> jax.Array:
     """SUM of radiance over samples [sample_start, sample_start+num_samples).
 
@@ -103,11 +114,7 @@ def render_cells_range(scene: Scene, cfg: RenderConfig, cell_ids, sample_start, 
     integrator='batch' for arbitrary id sets.  Concrete non-contiguous ids
     raise (check_contiguous_cells).
     """
-    integ = cfg.integrator
-    if integ == "auto":
-        on_tpu = jax.default_backend() == "tpu"
-        f32 = scene.p0.dtype == jnp.float32
-        integ = "pallas" if (on_tpu and f32) else "wavefront"
+    integ = resolve_integrator(scene, cfg)
     if integ in ("wavefront", "pallas"):
         check_contiguous_cells(cell_ids)
     if integ == "wavefront" and cfg.loop == "while":

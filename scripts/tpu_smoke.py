@@ -104,10 +104,14 @@ def run(width: int, height: int, spp: int, out_path: str, state_path: str | None
         rec["lowdepth_wavefront_vs_batch_max"] = d_wb
         rec["lowdepth_pallas_vs_wavefront_p999"] = float(np.quantile(d_pw, 0.999))
         rec["lowdepth_pallas_vs_wavefront_flipped_frac"] = float((d_pw > 1e-3).mean())
+        # Near-bitwise thresholds (VERDICT r2 weak #8), set from the measured
+        # post-Precision.HIGHEST deviations (p999 <= 6e-8, flipped frac <=
+        # 2.7e-5 across scenes) with ~30x headroom: the bf16-MXU bug this
+        # gate exists to catch produced flipped fracs of 0.12-0.81.
         ok_lo = (
             d_wb < 2e-5
-            and rec["lowdepth_pallas_vs_wavefront_p999"] < 1e-3
-            and rec["lowdepth_pallas_vs_wavefront_flipped_frac"] < 5e-3
+            and rec["lowdepth_pallas_vs_wavefront_p999"] < 1e-5
+            and rec["lowdepth_pallas_vs_wavefront_flipped_frac"] < 1e-3
         )
 
         # ---- tier 2: statistical parity at full depth --------------------

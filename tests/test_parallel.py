@@ -113,3 +113,37 @@ def test_sharded_accum_train_step_matches_single_chip():
             np.testing.assert_allclose(
                 np.asarray(p[k]), np.asarray(p_ref[k]), rtol=1e-9, atol=1e-12,
                 err_msg=f"mesh={dict(mesh.shape)} chunk=({cc},{sc_}) leaf={k}")
+
+
+def test_sharded_train_step_matches_single_device():
+    """make_sharded_train_step must reproduce the single-device train_step
+    exactly (not just up to Adam's scale invariance — the r2 version left
+    grads n_tiles x too large via a redundant pmean on top of vma-AD's
+    implicit psum)."""
+    import optax
+
+    from cpu_path_tracing_tpu.grad import (
+        make_sharded_train_step,
+        render_target,
+        split_params,
+        train_step,
+    )
+
+    cfg = RenderConfig(width=8, height=8, spp=4, max_depth=6, loop="scan")
+    scene = get_scene("box", cfg.width, cfg.height, dtype=jnp.float64)
+    target = render_target(scene, cfg) * 0.9
+    params0 = split_params(scene, ("albedo", "p0"))
+    optimizer = optax.adam(1e-2)
+    ids = jnp.arange(cfg.num_cells, dtype=jnp.int32)
+
+    p_ref, _, l_ref = train_step(params0, optimizer.init(params0), scene, cfg,
+                                 optimizer, ids, target)
+
+    for mesh in (make_mesh(n_tiles=8, n_samples=1), make_mesh(n_tiles=4, n_samples=2)):
+        step = make_sharded_train_step(mesh, cfg, optimizer)
+        p, _, l = step(params0, optimizer.init(params0), scene, ids, target)
+        assert abs(float(l) - float(l_ref)) < 1e-12, (dict(mesh.shape), float(l), float(l_ref))
+        for k in p_ref:
+            np.testing.assert_allclose(
+                np.asarray(p[k]), np.asarray(p_ref[k]), rtol=1e-9, atol=1e-12,
+                err_msg=f"mesh={dict(mesh.shape)} leaf={k}")
