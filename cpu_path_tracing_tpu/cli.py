@@ -47,6 +47,9 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--integrator", choices=("auto", "wavefront", "pallas", "batch"), default="auto")
     p.add_argument("--lanes", type=int, default=1 << 19, help="wavefront lane-pool width")
+    p.add_argument("--ring", type=int, default=None,
+                   help="wavefront retirement-ring depth K (stall headroom; "
+                        "default auto — see config.py wavefront_ring)")
     p.add_argument("--profile-dir", default=None, help="capture a jax.profiler trace here")
     p.add_argument(
         "--debug-nans", action="store_true",
@@ -79,6 +82,7 @@ def _config(args) -> RenderConfig:
         seed=args.seed,
         integrator=args.integrator,
         wavefront_lanes=args.lanes,
+        wavefront_ring=args.ring,
     )
 
 
@@ -228,9 +232,19 @@ def cmd_invert(args) -> int:
         print(f"resumed from {args.checkpoint} at step {state.step}", file=sys.stderr)
     params, opt_state = state.params, state.opt_state
 
-    step_fn = make_accum_train_step(
-        scene, cfg, optimizer, cell_chunk=args.cell_chunk, sample_chunk=args.sample_chunk
-    )
+    if args.mesh:
+        from .grad import make_sharded_accum_train_step
+        from .parallel.mesh import make_mesh
+
+        n_tiles, n_samples = (int(v) for v in args.mesh.split("x"))
+        step_fn = make_sharded_accum_train_step(
+            make_mesh(n_tiles, n_samples), scene, cfg, optimizer,
+            cell_chunk=args.cell_chunk, sample_chunk=args.sample_chunk,
+        )
+    else:
+        step_fn = make_accum_train_step(
+            scene, cfg, optimizer, cell_chunk=args.cell_chunk, sample_chunk=args.sample_chunk
+        )
     save_every = args.save_every or max(1, args.steps // 10)
     t0 = time.perf_counter()
     for step in range(state.step, args.steps):

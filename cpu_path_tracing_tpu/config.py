@@ -60,6 +60,14 @@ class RenderConfig:
     integrator: str = "auto"
     # Lane-pool width for the wavefront integrator.
     wavefront_lanes: int = 1 << 19
+    # Retirement-ring depth K of the wavefront integrators: a lane may run at
+    # most K generations ahead of the slowest lane before stalling, so K
+    # bounds the tolerable path-length VARIANCE within a generation; the cost
+    # is the K x lanes x 3 ring read+write per iteration.  Short-path scenes
+    # with long straggler tails (sky-escape scenes: most paths die in 2-3
+    # bounces, RR tails run to 60+) want a deep ring; closed boxes with long
+    # mean paths are insensitive.  None = auto (see ops/wavefront.py).
+    wavefront_ring: Optional[int] = None
     # Progressive checkpointing: flush accumulators every N sample batches
     # (0 = disabled).  See utils/checkpoint.py.
     checkpoint_every: int = 0

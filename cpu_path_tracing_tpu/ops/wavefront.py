@@ -44,6 +44,20 @@ from . import rng as rng_ops
 from .integrator import RayState, bounce_step
 
 
+def _resolve_ring_depth(cfg: RenderConfig, ring_depth) -> int:
+    """Ring depth K: explicit kwarg > cfg.wavefront_ring > default 8.
+
+    K bounds how many generations a fast lane may run ahead of the slowest
+    (see config.py wavefront_ring); per-iteration ring traffic is K*B*3
+    floats read+write, so bigger K trades bandwidth for stall headroom.
+    """
+    if ring_depth is not None:
+        return ring_depth
+    if cfg.wavefront_ring is not None:
+        return cfg.wavefront_ring
+    return 8
+
+
 class LaneState(NamedTuple):
     ray: RayState
     depth: jax.Array  # [B] int32 per-lane bounce depth
@@ -60,7 +74,7 @@ def render_wavefront(
     num_samples: int,
     *,
     lanes: int | None = None,
-    ring_depth: int = 8,
+    ring_depth: int | None = None,
     with_stats: bool = False,
     depth_hist: bool = False,
 ):
@@ -83,7 +97,7 @@ def render_wavefront(
     n_cells = cell_ids.shape[0]
     n_items = n_cells * num_samples
     B = int(min(lanes or cfg.wavefront_lanes, n_items))
-    K = ring_depth
+    K = _resolve_ring_depth(cfg, ring_depth)
     n_gens = -(-n_items // B)
     seed_pair = rng_ops.master_key(cfg.seed)
 
@@ -243,7 +257,7 @@ def render_wavefront_pallas(
     num_samples: int,
     *,
     lanes: int | None = None,
-    ring_depth: int = 8,
+    ring_depth: int | None = None,
     rows: int | None = None,
     interpret: bool = False,
     with_stats: bool = False,
@@ -284,7 +298,7 @@ def render_wavefront_pallas(
     tile = rows * LANE
     n_cells = cell_ids.shape[0]
     n_items = n_cells * num_samples
-    K = ring_depth
+    K = _resolve_ring_depth(cfg, ring_depth)
     B = int(min(lanes or cfg.wavefront_lanes, n_items))
     B = max(tile, B - B % tile)  # kernel needs whole tiles
     n_gens = -(-n_items // B)

@@ -89,3 +89,16 @@ def test_bench_scaling(tmp_path, capsys):
     text = open(out).read()
     assert "efficiency vs linear" in text
     assert "virtual" in text  # cpu-backend caveat present
+
+
+def test_invert_sharded_mesh(capsys):
+    """invert --mesh runs the mesh-parallel accumulation step."""
+    rc = main(
+        ["invert", "--scene", "box", "--width", "8", "--height", "6",
+         "--spp", "2", "--max-depth", "6", "--steps", "2", "--mesh", "4x2",
+         "--fields", "albedo", "--perturb", "0.05",
+         "--cell-chunk", "96", "--sample-chunk", "1"]
+    )
+    assert rc == 0
+    recs = [json.loads(l) for l in capsys.readouterr().out.splitlines() if l.startswith("{")]
+    assert recs and np.isfinite(recs[-1]["loss"])

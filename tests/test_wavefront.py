@@ -137,3 +137,31 @@ def test_observability_stats():
     assert (hist * np.arange(1, cfg.max_depth + 1)).sum() == segments
     occ = segments / (iters * lanes)
     assert 0.0 < occ <= 1.0
+
+
+def test_deep_ring_and_config_ring():
+    """Deep rings (stall-headroom for short-path scenes, config.py
+    wavefront_ring) keep exact parity, on the XLA wavefront and on the
+    interpret-mode pallas kernel."""
+    from cpu_path_tracing_tpu.ops.wavefront import render_wavefront_pallas
+
+    cfg = pt.RenderConfig(width=8, height=6, spp=4, max_depth=32, wavefront_lanes=64)
+    scene = pt.get_scene("simple", 8, 6)
+    ref = _batch(scene, cfg, 4)
+    for K in (16, 64):
+        w = np.asarray(render_wavefront(scene, cfg, _cells(cfg), 0, 4, ring_depth=K))
+        np.testing.assert_allclose(w, ref, atol=1e-6, rtol=1e-6)
+    # via config instead of kwarg
+    cfg_k = cfg.replace(wavefront_ring=32)
+    w = np.asarray(render_wavefront(scene, cfg_k, _cells(cfg), 0, 4))
+    np.testing.assert_allclose(w, ref, atol=1e-6, rtol=1e-6)
+    # pallas kernel, interpret mode, deep ring
+    scene32 = pt.get_scene("simple", 8, 6, dtype=jnp.float32)
+    cfg_p = pt.RenderConfig(width=8, height=6, spp=4, max_depth=32,
+                            wavefront_lanes=8192, wavefront_ring=32)
+    ref32 = np.asarray(
+        render_cells_range(scene32, cfg_p.replace(integrator="batch"),
+                           _cells(cfg_p), 0, 2).astype(np.float32))
+    w32 = np.asarray(render_wavefront_pallas(scene32, cfg_p, _cells(cfg_p), 0, 2,
+                                             rows=8, interpret=True))
+    np.testing.assert_allclose(w32, ref32, atol=1e-5, rtol=1e-5)
