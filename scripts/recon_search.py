@@ -163,9 +163,15 @@ TARGETS = {
 SWEEPS = {
     "new_camera": {"aperture": [0.2], "vfov": [1.2]},
     "dof": {"aperture": [0.3, 0.6, 0.9, 1.2], "focus_scale": [0.85, 1.0, 1.15]},
-    "clear_light": {"light_e": [3.0, 6.0, 10.0], "light_r": [0.16, 0.2, 0.24],
+    # cl: golden walls are BRIGHT pastels (mean ~103/255) — wall flux scales
+    # ~light_e*r^2; CPU probe at e=6,r=0.2 gave mean ~37 -> need ~6-10x.
+    "clear_light": {"light_e": [15.0, 30.0, 60.0], "light_r": [0.2, 0.25, 0.3],
                     "vfov": [0.5, 0.55, 0.62]},
-    "greenish_party": {"light_e": [4.0, 8.0, 14.0], "cap": [0.02, 0.05, 0.1],
+    # gp: the ceiling patch is a sphere cap of radius a=sqrt(2*R*cap); the
+    # golden patch is ~0.22 half-width (1/4 of the 0.8 ceiling) -> cap ~
+    # a^2/(2R) ~ 0.004 at R=6, NOT the 0.02-0.1 the CPU probe ruled out
+    # (cap=0.04 floods the whole ceiling white).
+    "greenish_party": {"light_e": [10.0, 20.0, 40.0], "cap": [0.002, 0.004, 0.008],
                        "vfov": [0.5, 0.55, 0.62]},
 }
 
