@@ -46,7 +46,9 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--rr-depth", type=int, default=4)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--integrator", choices=("auto", "wavefront", "pallas", "batch"), default="auto")
-    p.add_argument("--lanes", type=int, default=1 << 19, help="wavefront lane-pool width")
+    p.add_argument("--lanes", type=int, default=None,
+                   help="wavefront lane-pool width (default: auto-tuned per "
+                        "scene by a pilot render — render.tune_wavefront)")
     p.add_argument("--ring", type=int, default=None,
                    help="wavefront retirement-ring depth K (stall headroom; "
                         "default auto — see config.py wavefront_ring)")
@@ -81,9 +83,20 @@ def _config(args) -> RenderConfig:
         rr_depth=args.rr_depth,
         seed=args.seed,
         integrator=args.integrator,
-        wavefront_lanes=args.lanes,
+        wavefront_lanes=args.lanes if args.lanes is not None else (1 << 19),
         wavefront_ring=args.ring,
     )
+
+
+def _maybe_tune(args, scene, cfg) -> RenderConfig:
+    """Auto-tune lanes/ring unless the user pinned them (render.tune_wavefront)."""
+    if args.lanes is not None or args.ring is not None:
+        return cfg
+    if cfg.integrator == "batch" or cfg.loop != "while":
+        return cfg
+    from .render import tune_wavefront
+
+    return tune_wavefront(scene, cfg)
 
 
 def _scene(args, cfg: RenderConfig):
@@ -106,6 +119,8 @@ def cmd_render(args) -> int:
         return _render_multihost(args)
     cfg = _config(args)
     scene = _scene(args, cfg)
+    if not args.mesh:
+        cfg = _maybe_tune(args, scene, cfg)
 
     with maybe_trace(args.profile_dir):
         with Timer() as t:
@@ -292,8 +307,12 @@ def _bench_one(scene_name, width, height, total_spp, *, integ, lanes, repeats,
 
     spp = max(1, total_spp // 4)
     cfg = RenderConfig(width=width, height=height, spp=spp, max_depth=max_depth,
-                       wavefront_lanes=lanes)
+                       wavefront_lanes=lanes if lanes is not None else (1 << 19))
     scene = get_scene(scene_name, width, height)
+    if lanes is None:
+        from .render import tune_wavefront
+
+        cfg = tune_wavefront(scene, cfg)
     ids = jnp.arange(cfg.num_cells, dtype=jnp.int32)
     chunk = _sample_chunk(spp, cfg.num_cells)
     wf = render_wavefront_pallas if integ == "pallas" else render_wavefront
@@ -511,6 +530,7 @@ def cmd_bench(args) -> int:
 
     cfg = _config(args)
     scene = _scene(args, cfg)
+    cfg = _maybe_tune(args, scene, cfg)
     ids = jnp.arange(cfg.num_cells, dtype=jnp.int32)
     integ = cfg.integrator
     if integ == "auto":

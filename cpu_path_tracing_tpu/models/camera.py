@@ -151,13 +151,14 @@ def get_rays(cam: Camera, s, t, u_disk1, u_disk2):
       normalized, matching ``src/camera.cpp:36-37``.
     """
     # Polar-map unit-disk sample (replaces the rejection loop at
-    # src/camera.cpp:19-30; same uniform-on-disk distribution).
-    r = jnp.sqrt(u_disk1)
+    # src/camera.cpp:19-30; same uniform-on-disk distribution).  Product
+    # order matches the megakernel: (sqrt(u)*lens_r)*cos — see
+    # ops/intersect.py on why expression structure is load-bearing.
+    r = jnp.sqrt(u_disk1) * cam.lens_radius
     theta = (2.0 * jnp.pi) * u_disk2
     rd = jnp.stack(
         [r * jnp.cos(theta), r * jnp.sin(theta), jnp.zeros_like(r)], axis=-1
     )
-    rd = rd * cam.lens_radius
 
     # Reference quirk (src/camera.cpp:35): offset = rd*s + rd*t, i.e. the
     # disk point scaled by the scalar screen coords — NOT u*rd.x + v*rd.y.

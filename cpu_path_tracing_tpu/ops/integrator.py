@@ -50,7 +50,7 @@ import jax.numpy as jnp
 
 from ..models.scene import Scene
 from . import rng as rng_ops
-from .intersect import intersect_scene, hit_record, sphere_props
+from .intersect import _rsqrt_safe, intersect_scene, hit_record, sphere_props
 from .materials import scatter
 
 
@@ -79,7 +79,13 @@ def init_state(origins, directions) -> RayState:
 
 
 def bounce_step(scene: Scene, state: RayState, uniforms, depth, *, rr_depth, epsilon, inf) -> RayState:
-    """Advance every live ray one bounce.  ``uniforms``: [B,4] (see ops/rng.py)."""
+    """Advance every live ray one bounce.  ``uniforms``: [B,4] (see ops/rng.py).
+
+    Expression structure mirrors the Pallas megakernel chain-for-chain (see
+    ops/intersect.py docstring: identical structure compiles
+    bitwise-identically under XLA and Mosaic — the on-device parity gate
+    depends on it).
+    """
     o, d, thr, emit, alive, result = state
     dt = o.dtype
     u_rr, u_a, u_b, u_c = uniforms[:, 0], uniforms[:, 1], uniforms[:, 2], uniforms[:, 3]
@@ -87,10 +93,17 @@ def bounce_step(scene: Scene, state: RayState, uniforms, depth, *, rr_depth, eps
     t, hid, hit = intersect_scene(scene, o, d, epsilon=epsilon, inf=inf)
 
     # ---- miss: scene background gradient (src/main.cpp:115-120) ----
-    ud = _normalize(d)
-    sky_t = 0.5 * (ud[:, 1] + 1.0)
+    # |d|^2 as the kernel's a_quad chain; sky from dy * rsqrt(a_quad).
+    dx, dy, dz = d[:, 0], d[:, 1], d[:, 2]
+    a_quad = dx * dx + dy * dy + dz * dz
+    dinv = _rsqrt_safe(a_quad)
+    # Fusion-invariant form: see the megakernel's sky block.
+    sky_t = (dy * dinv) * 0.5 + 0.5
     bg = scene.background.astype(dt)
-    sky = (1.0 - sky_t)[:, None] * bg[0] + sky_t[:, None] * bg[1]
+    # Lerp form (one product): the two-product (1-t)*bg0 + t*bg1 blend has
+    # an ambiguous fma grouping that XLA and Mosaic resolved differently —
+    # see the megakernel's sky block.
+    sky = bg[0] + sky_t[:, None] * (bg[1] - bg[0])
     die_miss = alive & ~hit
     result = jnp.where(die_miss[:, None], emit + thr * sky, result)
 
@@ -105,15 +118,17 @@ def bounce_step(scene: Scene, state: RayState, uniforms, depth, *, rr_depth, eps
 
     # ---- Russian roulette (src/main.cpp:128-137) ----
     p = jnp.max(al_h, axis=-1)  # uncapped by design (fidelity #1)
-    p_safe = jnp.where(p > 0, p, 1.0)
+    p_inv = 1.0 / jnp.where(p > 0, p, 1.0)
     do_rr = depth > rr_depth
     survive = u_rr < p
     killed = do_rr & ~survive
-    color = jnp.where((do_rr & survive)[:, None], al_h / p_safe[:, None], al_h)
     die_rr = alive & hit & killed
     result = jnp.where(die_rr[:, None], emit_new, result)
 
-    thr_new = thr * color  # src/main.cpp:139
+    # throughput = (thr * albedo) * colf, colf = 1/p on a surviving roulette
+    # round, else 1 — the kernel's exact product order.
+    colf = jnp.where(do_rr & survive, p_inv, jnp.ones_like(p_inv))
+    thr_new = thr * al_h * colf[:, None]  # src/main.cpp:139
 
     # ---- scatter (src/main.cpp:141-154) ----
     d_new = scatter(props.mat_mask, d, n_out, normal, front, u_a, u_b, u_c)

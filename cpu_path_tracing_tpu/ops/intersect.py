@@ -51,29 +51,45 @@ def intersect_scene(scene: Scene, origins, directions, epsilon=1e-4, inf=1e20):
       t:      [B] distance to nearest hit (== inf on miss)
       hit_id: [B] int32 index of the nearest sphere (first index on ties)
       hit:    [B] bool
+
+    Expression structure note: every dot product is written as the explicit
+    left-associated component chain ``x0*y0 + x1*y1 + x2*y2`` — the EXACT
+    expression the Pallas megakernel uses — rather than einsum.  Measured on
+    v5e: identical chains compile bitwise-identically under XLA and Mosaic,
+    while einsum's unspecified contraction order differed from the chain in
+    ~3.5% of t values at smallpt coordinate scale (ulp-level, but enough to
+    flip epsilon hit tests / RR lotteries and fail the on-device parity
+    gate's strict tier for big-coordinate scenes).  Bitwise XLA==Mosaic
+    agreement is a correctness feature (one estimator, one answer), so chain
+    structure is load-bearing here — do not "simplify" back to einsum/sum.
     """
     p0 = scene.p0  # [N,3]
-    r = scene.radius  # [N]
+    r = scene.radius[None, :]  # [1,N]
     ad = jax.lax.stop_gradient(scene.anchor_dir)  # constant buffer [N,3]
 
-    q = origins[:, None, :] - p0[None, :, :]  # [B,N,3] unit scale
-    a = jnp.sum(directions * directions, axis=-1)  # [B]
-    qd = jnp.einsum("bnc,bc->bn", q, directions, precision=Precision.HIGHEST)  # [B,N]
-    add = jnp.einsum("nc,bc->bn", ad, directions, precision=Precision.HIGHEST)  # [B,N]
-    b = qd + r[None, :] * add  # oc.d
-    qq = jnp.sum(q * q, axis=-1)  # [B,N]
-    qad = jnp.einsum("bnc,nc->bn", q, ad, precision=Precision.HIGHEST)  # [B,N]
-    c = qq + 2.0 * r[None, :] * qad  # oc.oc - r^2, cancellation-free
+    ox, oy, oz = origins[:, 0:1], origins[:, 1:2], origins[:, 2:3]  # [B,1]
+    dx, dy, dz = directions[:, 0:1], directions[:, 1:2], directions[:, 2:3]
+    p0x, p0y, p0z = p0[None, :, 0], p0[None, :, 1], p0[None, :, 2]  # [1,N]
+    adx, ady, adz = ad[None, :, 0], ad[None, :, 1], ad[None, :, 2]
 
-    disc = b * b - a[:, None] * c
+    qx, qy, qz = ox - p0x, oy - p0y, oz - p0z  # [B,N] unit scale
+    a = dx * dx + dy * dy + dz * dz  # [B,1]
+    qd = qx * dx + qy * dy + qz * dz  # [B,N]
+    add = adx * dx + ady * dy + adz * dz
+    b = qd + r * add  # oc.d
+    qq = qx * qx + qy * qy + qz * qz
+    qad = qx * adx + qy * ady + qz * adz
+    c = qq + 2.0 * r * qad  # oc.oc - r^2, cancellation-free
+
+    disc = b * b - a * c
     has_root = disc >= 0.0
     sqrtd = jnp.sqrt(jnp.where(has_root, disc, 1.0))  # grad-safe sqrt
 
     sign_b = jnp.where(b >= 0.0, 1.0, -1.0)
     qform = -(b + sign_b * sqrtd)
     qform_safe = jnp.where(qform != 0.0, qform, 1.0)
-    root_1 = qform / a[:, None]
-    root_2 = jnp.where(qform != 0.0, c / qform_safe, jnp.inf)
+    root_1 = qform / a
+    root_2 = jnp.where(qform != 0.0, c / qform_safe, inf)
     t_near = jnp.minimum(root_1, root_2)
     t_far = jnp.maximum(root_1, root_2)
 
@@ -151,14 +167,35 @@ def hit_record(scene: Scene, origins, directions, t, hit_id, props: "SphereProps
         props = sphere_props(scene, hit_id)
     p0_h, ad_h, r_h = props.p0, props.anchor_dir, props.radius
 
-    hp = origins + t[:, None] * directions
+    # Kernel-identical expression structure (see intersect_scene docstring):
+    # reciprocal-multiply (not divide), explicit component chains, rsqrt
+    # normalize — ops/pallas/megakernel.py hit-record block.
+    ox, oy, oz = origins[:, 0], origins[:, 1], origins[:, 2]
+    dx, dy, dz = directions[:, 0], directions[:, 1], directions[:, 2]
+    hx = ox + t * dx
+    hy = oy + t * dy
+    hz = oz + t * dz
+    r_inv = 1.0 / jnp.where(r_h != 0.0, r_h, 1.0)
     # (hp - center)/r = anchor_dir + (hp - p0)/r: unit-scale arithmetic only.
-    r_safe = jnp.where(r_h != 0, r_h, 1.0)
-    n_raw = ad_h + (hp - p0_h) / r_safe[:, None]
-    n_out = _normalize(n_raw)
-    front = jnp.sum(n_out * directions, axis=-1) < 0.0
-    normal = jnp.where(front[:, None], n_out, -n_out)
+    nrx = ad_h[:, 0] + (hx - p0_h[:, 0]) * r_inv
+    nry = ad_h[:, 1] + (hy - p0_h[:, 1]) * r_inv
+    nrz = ad_h[:, 2] + (hz - p0_h[:, 2]) * r_inv
+    ninv = _rsqrt_safe(nrx * nrx + nry * nry + nrz * nrz)
+    nox = nrx * ninv
+    noy = nry * ninv
+    noz = nrz * ninv
+    ndotd = nox * dx + noy * dy + noz * dz
+    front = ndotd < 0.0
+    fsign = jnp.where(front, 1.0, -1.0)
+    hp = jnp.stack([hx, hy, hz], axis=-1)
+    n_out = jnp.stack([nox, noy, noz], axis=-1)
+    normal = n_out * fsign[:, None]
     return hp, n_out, normal, front
+
+
+def _rsqrt_safe(x):
+    """Gradient-safe rsqrt — identical guard structure to the megakernel's."""
+    return jax.lax.rsqrt(jnp.where(x > 0, x, 1.0))
 
 
 def _normalize(v):

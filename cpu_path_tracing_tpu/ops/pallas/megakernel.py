@@ -18,13 +18,18 @@ State is fully SoA: twenty [B] component arrays tiled as (rows, 128) blocks,
 all aliased in-place (input_output_aliases) so the surrounding
 lax.while_loop carries no copies.  The scalar sphere table and camera frame
 live in SMEM.  Everything the kernel computes matches the jnp reference
-implementation (ops/integrator.py bounce_step + ops/wavefront.py) — parity
-is enforced bitwise by interpret-mode tests (tests/test_wavefront.py) and
-on the real chip by scripts/tpu_smoke.py.  On-device parity is exact up to
-Mosaic-vs-XLA f32 contraction (measured ~1 lane in 10^4 per bounce lands on
-the other side of a discrete lottery, chaotically decorrelating that sample
-over a 100-bounce path), so the device gate is strict at low depth and
-statistical at full depth — see the tpu_smoke.py docstring.
+implementation (ops/integrator.py bounce_step + ops/wavefront.py)
+EXPRESSION-FOR-EXPRESSION: the XLA side is written in the same
+left-associated component chains / reciprocal-multiplies as this kernel
+(see ops/intersect.py docstring), because identical expression structure
+compiles bitwise-identically under XLA and Mosaic (measured on v5e).
+Parity is enforced by interpret-mode tests (tests/test_wavefront.py;
+bitwise except sky-gradient miss lanes, whose fma grouping is
+compiler-context-dependent — see that test's docstring) and on the real
+chip by scripts/tpu_smoke.py — the round-3 on-device gate (TPU_SMOKE.md)
+measures full-depth (100-bounce) scale-aware deviation of 0 to 3e-10 on
+six of seven scenes and 2.8e-4 on smallpt, i.e. at-or-near bitwise
+agreement between this kernel and the XLA integrators on device.
 
 Reference semantics cited inline map to src/main.cpp:104-158 (radiance loop),
 src/camera.cpp:32-38 (thin lens), src/sphere.cpp:6-30 (roots).
@@ -267,10 +272,18 @@ def make_kernel(cfg: RenderConfig, *, n_spheres: int, n_cells: int, n_items: int
 
         # ------- miss: scene background gradient (src/main.cpp:115-120) ------
         dinv = _rsqrt_safe(a_quad)
-        sky_t = 0.5 * (dy * dinv + 1.0)
-        skyx = (1.0 - sky_t) * cam_ref[13] + sky_t * cam_ref[16]
-        skyy = (1.0 - sky_t) * cam_ref[14] + sky_t * cam_ref[17]
-        skyz = (1.0 - sky_t) * cam_ref[15] + sky_t * cam_ref[18]
+        # (dy*dinv)*0.5 + 0.5 instead of 0.5*(dy*dinv + 1.0): x*0.5 is exact,
+        # so ANY fma grouping of this form rounds identically — the previous
+        # form's fma choice differed between compilers (1-ulp sky_t).
+        sky_t = (dy * dinv) * 0.5 + 0.5
+        # Lerp form bg0 + t*(bg1-bg0), algebraically equal to the reference's
+        # (1-t)*bottom + t*top (src/main.cpp:116-119) but with only ONE
+        # product — the two-product form's fma grouping is ambiguous and XLA
+        # and Mosaic resolved it differently (1-ulp sky divergence, caught by
+        # the bitwise interpret gate).
+        skyx = cam_ref[13] + sky_t * (cam_ref[16] - cam_ref[13])
+        skyy = cam_ref[14] + sky_t * (cam_ref[17] - cam_ref[14])
+        skyz = cam_ref[15] + sky_t * (cam_ref[18] - cam_ref[15])
         die_miss = was_alive & ~hit
         s["rsx"] = jnp.where(die_miss, s["emx"] + s["thx"] * skyx, s["rsx"])
         s["rsy"] = jnp.where(die_miss, s["emy"] + s["thy"] * skyy, s["rsy"])

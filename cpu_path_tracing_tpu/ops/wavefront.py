@@ -269,11 +269,11 @@ def render_wavefront_pallas(
     as ONE pallas_call over SoA lane tiles (ops/pallas/megakernel.py), with
     only the watermark min-reduce, the flush slice and the loop carry left to
     XLA.  f32 only.  Draws are bit-identical to the XLA wavefront (same
-    Threefry blocks); per-sample results agree to fp-contraction noise at low
-    bounce depth, while at depth ~100 contraction differences occasionally
-    flip a discrete lottery and chaotically decorrelate that sample — the
-    estimator is unchanged, so full-depth parity is statistical (gated
-    on-device by scripts/tpu_smoke.py).
+    Threefry blocks), and the XLA bounce math mirrors the kernel's expression
+    structure chain-for-chain, so per-sample results match the XLA wavefront
+    at-or-near bitwise even at depth 100 (round-3 TPU_SMOKE.md: full-depth
+    deviation 0-3e-10 on six scenes, 2.8e-4 on smallpt; gated on-device by
+    scripts/tpu_smoke.py, bitwise in interpret mode by test_wavefront.py).
     """
     from .pallas.megakernel import (
         LANE,

@@ -52,8 +52,10 @@ def camera_rays_for_cells(scene: Scene, cfg: RenderConfig, cell_ids, u4, dtype):
     sub_len = 1.0 / ns
     x_in = x.astype(dtype) + sx.astype(dtype) * sub_len + u4[:, 0] * sub_len
     y_in = y.astype(dtype) + sy.astype(dtype) * sub_len + u4[:, 1] * sub_len
-    s = x_in / cfg.width
-    t = y_in / cfg.height
+    # Multiply by the reciprocal constant (not divide) — the megakernel's
+    # exact structure (ops/intersect.py docstring on why this matters).
+    s = x_in * jnp.asarray(1.0 / cfg.width, dtype)
+    t = y_in * jnp.asarray(1.0 / cfg.height, dtype)
     cam = build_camera(scene.camera)
     return get_rays(cam, s, t, u4[:, 2], u4[:, 3])
 
@@ -144,6 +146,55 @@ def render_cells_range(scene: Scene, cfg: RenderConfig, cell_ids, sample_start, 
     # is mesh-varying under shard_map (cf. ops/integrator.py init_state).
     acc0 = (cell_ids[:, None] * 0).astype(dtype) + jnp.zeros((1, 3), dtype)
     return jax.lax.fori_loop(0, num_samples, body, acc0, unroll=False)
+
+
+def tune_wavefront(scene: Scene, cfg: RenderConfig, probe_cells: int = 1 << 15) -> RenderConfig:
+    """Auto-tune the wavefront lane-pool width and ring depth for this scene.
+
+    The wavefront's throughput regime depends on the path-length
+    distribution (measured on v5e, BENCH_SUITE.md / round-3 probes):
+
+    * LONG-path scenes (closed boxes, E[depth] ~ 12): per-generation work
+      dominates; a maximal pool (cfg.wavefront_lanes) at ring K=8 is best.
+    * SHORT-path scenes (sky-escape, E[depth] ~ 2 with RR straggler tails to
+      60+): a maximal pool leaves only ~n_items/B generations, so the final
+      generations' stragglers run ~100 iterations against a mostly-idle pool
+      (drain tail), and mid-render the K-generation stall headroom binds.
+      Shrinking the pool (more generations, relatively smaller tail) and
+      deepening the ring raised measured throughput 1.7-3.1x (simple
+      179->308, depth_of_field 295->450, random_spheres 71->217 Mrays/s).
+
+    Pilot: one-sample batch-integrator render of a strided ~``probe_cells``
+    cell subset (strided, not a contiguous span — path length correlates
+    with image row) measuring segments/ray = E[depth].  The pilot compiles
+    once per (shape, config) — scenes are traced arguments — and costs
+    milliseconds to run.  Explicit ``wavefront_ring`` settings are
+    respected; only the lane/ring pair is tuned.
+    """
+    from .ops import rng as rng_ops
+    from .ops.integrator import radiance
+
+    n = cfg.num_cells
+    stride = max(1, n // probe_cells)
+    ids = jnp.arange(0, n, stride, dtype=jnp.int32)
+
+    @partial(jax.jit, static_argnames=("c",))
+    def pilot(sc, i, c):
+        keys, o, d = camera_rays(sc, c, i, jnp.uint32(0), rng_ops.master_key(c.seed), sc.p0.dtype)
+        _, st = radiance(sc, o, d, keys, max_depth=c.max_depth, rr_depth=c.rr_depth,
+                         epsilon=c.epsilon, inf=c.inf, loop="while", with_stats=True)
+        return st["segments"]
+
+    e_depth = float(jax.device_get(pilot(scene, ids, cfg))) / ids.shape[0]
+    if e_depth >= 8.0:
+        return cfg  # long-path regime: the defaults are right
+    # Short-path regime: bound the drain tail by targeting >=256 generations
+    # per launch (launch size mirrors the bench/CLI sample chunking cap).
+    items = min(n * cfg.spp, 64 << 20)
+    lanes = max(1 << 16, min(cfg.wavefront_lanes, items // 256))
+    lanes -= lanes % 8192  # megakernel tile granularity (rows x 128)
+    ring = cfg.wavefront_ring if cfg.wavefront_ring is not None else 32
+    return cfg.replace(wavefront_lanes=int(lanes), wavefront_ring=ring)
 
 
 @partial(jax.jit, static_argnames=("cfg",))

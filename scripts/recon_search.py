@@ -106,13 +106,18 @@ def build_dof(width, height, *, aperture=0.6, focus_scale=1.0, vfov=1.2):
 
 def build_clear_light(width, height, *, light_r=0.2, light_y=0.05, light_z=-1.15,
                       light_e=6.0, vfov=0.55, mag=(0.85, 0.2, 0.85),
-                      mirror_x=-0.18, mag_x=0.1, glass_x=0.25, glass_r=0.2):
+                      mirror_x=-0.18, mag_x=0.1, glass_x=0.25, glass_r=0.2,
+                      ceiling=(0.1, 0.7, 0.2), side_sat=1.0):
     """clear_light.png: box geometry with WHITE back+floor, GREEN ceiling,
     red/blue side walls; a big white emitter ball floating mid-room before
-    the back wall; mirror / magenta-specular / glass balls on the floor."""
+    the back wall; mirror / magenta-specular / glass balls on the floor.
+    ``side_sat`` blends the side-wall albedos toward white (the golden's
+    walls are pastel — either heavily cross-lit or intrinsically desaturated)."""
+    def desat(c):
+        return tuple(s * x + (1.0 - s) * 0.8 for x, s in zip(c, (side_sat,) * 3))
     walls = _box_walls((
-        (0.9, 0.1, 0.2), (0.3, 0.1, 0.9), (0.9, 0.9, 0.9),
-        (0.1, 0.7, 0.2), (0.9, 0.9, 0.9),
+        desat((0.9, 0.1, 0.2)), desat((0.3, 0.1, 0.9)), (0.9, 0.9, 0.9),
+        tuple(ceiling), (0.9, 0.9, 0.9),
     ))
     mr = 0.15
     spheres = walls + [
@@ -130,7 +135,8 @@ def build_clear_light(width, height, *, light_r=0.2, light_y=0.05, light_z=-1.15
 
 def build_greenish_party(width, height, *, light_r=6.0, cap=0.04, light_e=8.0,
                          vfov=0.55, mirror_x=-0.15, glass_x=0.2, ball_r=0.18,
-                         light_z=Z):
+                         light_z=Z, tint=(1.0, 1.0, 1.0),
+                         ceiling=(0.3, 0.7, 0.2)):
     """greenish_party.png: the box_scene wall albedos (red left, blue right,
     green back, green top, white floor — src/box_scene.hpp:23-47) with a
     huge white emitter sphere ABOVE the ceiling poking a shallow cap through
@@ -138,10 +144,11 @@ def build_greenish_party(width, height, *, light_r=6.0, cap=0.04, light_e=8.0,
     bright-lit green ceiling; mirror + glass balls on the floor."""
     walls = _box_walls((
         (0.9, 0.1, 0.2), (0.3, 0.1, 0.9), (0.1, 0.7, 0.2),
-        (0.3, 0.7, 0.2), (0.9, 0.9, 0.9),
+        tuple(ceiling), (0.9, 0.9, 0.9),
     ))
+    emission = tuple(light_e * t for t in tint)
     spheres = walls + [
-        (light_r, (0.0, OFF + light_r - cap, light_z), (light_e,) * 3, (1.0, 1.0, 1.0), DIFFUSE),
+        (light_r, (0.0, OFF + light_r - cap, light_z), emission, (1.0, 1.0, 1.0), DIFFUSE),
         (ball_r, (mirror_x, -OFF + ball_r, Z + 0.35), (0, 0, 0), (1.0, 1.0, 1.0), SPECULAR),
         (ball_r, (glass_x, -OFF + ball_r, Z + 0.6), (0, 0, 0), (1.0, 1.0, 1.0), DIELECTRIC),
     ]
@@ -162,6 +169,15 @@ TARGETS = {
 # Coarse sweep grids per target (refine by hand from the JSON output).
 SWEEPS = {
     "new_camera": {"aperture": [0.2], "vfov": [1.2]},
+    # stage-2 refinement around the stage-1 winners (run history in git:
+    # stage-1 best dof 3.23 @ (0.6, 1.0); cl 27.1 @ (30, 0.2, 0.5);
+    # gp 56.6 @ (0.004, 20, 0.5) — both cl/gp show a green deficit.)
+    "dof2": {"aperture": [0.45, 0.55, 0.6, 0.65, 0.75],
+             "focus_scale": [0.95, 1.0, 1.05]},
+    "cl2": {"light_y": [0.05, 0.15, 0.25], "light_z": [-1.3, -1.15, -1.0],
+            "ceiling": [[0.1, 0.7, 0.2], [0.3, 0.7, 0.2]]},
+    "gp2": {"cap": [0.003, 0.004, 0.006], "light_e": [15.0, 20.0, 30.0],
+            "tint": [[1.0, 1.0, 1.0], [0.85, 1.0, 0.7], [0.7, 1.0, 0.5]]},
     "dof": {"aperture": [0.3, 0.6, 0.9, 1.2], "focus_scale": [0.85, 1.0, 1.15]},
     # cl: golden walls are BRIGHT pastels (mean ~103/255) — wall flux scales
     # ~light_e*r^2; CPU probe at e=6,r=0.2 gave mean ~37 -> need ~6-10x.
@@ -186,6 +202,9 @@ def main() -> int:
     ap.add_argument("--target", required=True, choices=sorted(TARGETS))
     ap.add_argument("--params", default="{}", help="JSON kwargs for the builder")
     ap.add_argument("--sweep", action="store_true", help="run the coarse grid")
+    ap.add_argument("--grid", default=None,
+                    help="SWEEPS key to use (default: the target name); "
+                         "e.g. --target dof --grid dof2 for stage-2 refinement")
     ap.add_argument("--width", type=int, default=512)
     ap.add_argument("--height", type=int, default=384)
     ap.add_argument("--spp", type=int, default=256)
@@ -198,7 +217,7 @@ def main() -> int:
     base = json.loads(a.params)
 
     if a.sweep:
-        grid = SWEEPS[a.target]
+        grid = SWEEPS[a.grid or a.target]
         keys = sorted(grid)
         best = None
         for combo in itertools.product(*(grid[k] for k in keys)):

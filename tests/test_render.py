@@ -79,3 +79,22 @@ def test_subpixel_clamp_before_average():
     img = np.asarray(finalize_image(cells, cfg))
     # red: clamp(5)=1 then mean(1,0,0,0) = 0.25 (unclamped mean would be 1.25)
     np.testing.assert_allclose(img[0, 0], [0.25, 0.5, 0.0], atol=1e-7)
+
+
+def test_tune_wavefront_regimes():
+    """Pilot-based wavefront auto-tuner: long-path scenes keep the maximal
+    pool; short-path scenes get a shrunken pool + deep ring (round-3 probe:
+    simple 179->308, depth_of_field 295->450 Mrays/s on v5e)."""
+    from cpu_path_tracing_tpu.render import tune_wavefront
+
+    cfg = RenderConfig(width=32, height=24, spp=16, max_depth=40)
+    box = get_scene("box", 32, 24)
+    assert tune_wavefront(box, cfg) == cfg  # E[depth] ~ 12: unchanged
+
+    simple = get_scene("simple", 32, 24)
+    tuned = tune_wavefront(simple, cfg)
+    assert tuned.wavefront_lanes <= cfg.wavefront_lanes
+    assert tuned.wavefront_lanes % 8192 == 0
+    assert tuned.wavefront_ring == 32
+    # explicit ring settings are respected
+    assert tune_wavefront(simple, cfg.replace(wavefront_ring=16)).wavefront_ring == 16

@@ -77,22 +77,33 @@ def test_stats_segments_match_batch():
 
 
 def test_pallas_megakernel_matches_xla():
-    """Fused Pallas loop body (interpret mode on CPU) vs the XLA wavefront:
-    identical threefry draws, fp-contraction-level agreement."""
+    """Fused Pallas loop body (interpret mode on CPU) vs the XLA wavefront.
+
+    The XLA integrators mirror the kernel's expression structure
+    chain-for-chain (ops/intersect.py docstring), so the two paths are
+    BITWISE equal wherever no sky-gradient miss occurs (box_mirror: closed
+    room; depth_of_field/smallpt: black background).  Sky-scene lanes can
+    still differ by ~1 ulp: the sky chain's a_quad/rsqrt/lerp sits in
+    different fusion contexts in the two separately-compiled programs and
+    the fma grouping is the compiler's choice — measured 1-ulp on a few
+    percent of lanes on CPU, <=3e-10 full-depth scale-aware deviation on
+    TPU (TPU_SMOKE.md).  The on-device version of this gate is
+    scripts/tpu_smoke.py."""
     from cpu_path_tracing_tpu.ops.wavefront import render_wavefront_pallas
 
     cfg = pt.RenderConfig(width=16, height=12, spp=2, max_depth=16)
-    # depth_of_field exercises the scene-background path (black sky) in the
-    # kernel; smallpt exercises origin_advance; the others use the default
-    # reference sky gradient.
-    for name in ("box_mirror", "simple", "depth_of_field", "smallpt"):
+    for name, bitwise in (("box_mirror", True), ("depth_of_field", True),
+                          ("smallpt", True), ("simple", False)):
         scene = pt.get_scene(name, 16, 12)
         ids = _cells(cfg)
         ref = np.asarray(render_wavefront(scene, cfg, ids, 0, 2, lanes=8192))
         pal = np.asarray(
             render_wavefront_pallas(scene, cfg, ids, 0, 2, lanes=8192, rows=8, interpret=True)
         )
-        np.testing.assert_allclose(pal, ref, atol=2e-6, rtol=1e-5)
+        if bitwise:
+            np.testing.assert_array_equal(pal, ref, err_msg=name)
+        else:
+            np.testing.assert_allclose(pal, ref, atol=1e-5, rtol=1e-5, err_msg=name)
 
 
 def test_pallas_integrator_dispatch():
