@@ -79,13 +79,27 @@ def main() -> int:
     ap.add_argument("--out-json", default=None, help="write the fitted scene here")
     ap.add_argument("--out-png", default=None, help="write a HQ render here")
     ap.add_argument("--eval-spp", type=int, default=256)
+    ap.add_argument("--init-json", default=None,
+                    help="start from this fitted scene JSON instead of the builder")
+    ap.add_argument("--free-emission", action="store_true",
+                    help="let every sphere's emission float (default: emission "
+                         "is structurally masked to the builder's emitters — "
+                         "otherwise the optimizer 'explains' wall colors by "
+                         "turning walls into dim lights)")
     a = ap.parse_args()
 
     build, golden_name = TARGETS[a.target]
     golden = os.path.join(GOLDEN_DIR, golden_name)
-    scene = build(a.width, a.height, **json.loads(a.params))
+    if a.init_json:
+        from cpu_path_tracing_tpu.models.io import load_scene
+
+        scene = load_scene(a.init_json, a.width, a.height)
+    else:
+        scene = build(a.width, a.height, **json.loads(a.params))
     fields = tuple(a.fields.split(","))
     params = split_params(scene, fields)
+    em_mask = (np.asarray(scene.emission).sum(axis=1, keepdims=True) > 0).astype(np.float32)
+    em_mask = None if a.free_emission else jnp.asarray(em_mask)
 
     cfg = pt.RenderConfig(width=a.width, height=a.height, spp=a.spp,
                           num_subpixels=1, max_depth=a.max_depth,
@@ -106,9 +120,12 @@ def main() -> int:
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = jax.tree.map(lambda p, u: p + u, params, updates)
-        # physical projection: albedo/emission/radius stay non-negative
+        # physical projection: albedo/emission/radius stay non-negative;
+        # emission confined to the builder's emitters unless --free-emission
         params = {k: (jnp.maximum(v, 0.0) if k in ("albedo", "emission", "radius") else v)
                   for k, v in params.items()}
+        if em_mask is not None and "emission" in params:
+            params["emission"] = params["emission"] * em_mask
         return params, opt_state, loss
 
     t0 = time.perf_counter()
@@ -121,7 +138,12 @@ def main() -> int:
 
     fitted = merge_params(scene, params)
     # honest evaluation at HQ via the standard score
-    big = build(512, 384, **json.loads(a.params))
+    if a.init_json:
+        from cpu_path_tracing_tpu.models.io import load_scene
+
+        big = load_scene(a.init_json, 512, 384)
+    else:
+        big = build(512, 384, **json.loads(a.params))
     big_fit = merge_params(big, params)  # same sphere count: params transfer
     img = hq_render(big_fit, 512, 384, a.eval_spp, 100)
     s = score(img, golden)

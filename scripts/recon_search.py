@@ -107,7 +107,8 @@ def build_dof(width, height, *, aperture=0.6, focus_scale=1.0, vfov=1.2):
 def build_clear_light(width, height, *, light_r=0.2, light_y=0.05, light_z=-1.15,
                       light_e=6.0, vfov=0.55, mag=(0.85, 0.2, 0.85),
                       mirror_x=-0.18, mag_x=0.1, glass_x=0.25, glass_r=0.2,
-                      ceiling=(0.1, 0.7, 0.2), side_sat=1.0):
+                      ceiling=(0.1, 0.7, 0.2), side_sat=1.0,
+                      mr=0.15, mirror_z=0.45, mag_z=0.2, glass_z=0.65, cam_z=2.0):
     """clear_light.png: box geometry with WHITE back+floor, GREEN ceiling,
     red/blue side walls; a big white emitter ball floating mid-room before
     the back wall; mirror / magenta-specular / glass balls on the floor.
@@ -119,14 +120,13 @@ def build_clear_light(width, height, *, light_r=0.2, light_y=0.05, light_z=-1.15
         desat((0.9, 0.1, 0.2)), desat((0.3, 0.1, 0.9)), (0.9, 0.9, 0.9),
         tuple(ceiling), (0.9, 0.9, 0.9),
     ))
-    mr = 0.15
     spheres = walls + [
         (light_r, (0.0, light_y, light_z), (light_e,) * 3, (1.0, 1.0, 1.0), DIFFUSE),
-        (mr, (mirror_x, -OFF + mr, Z + 0.45), (0, 0, 0), (1.0, 1.0, 1.0), SPECULAR),
-        (mr, (mag_x, -OFF + mr, Z + 0.2), (0, 0, 0), mag, SPECULAR),
-        (glass_r, (glass_x, -OFF + glass_r, Z + 0.65), (0, 0, 0), (1.0, 1.0, 1.0), DIELECTRIC),
+        (mr, (mirror_x, -OFF + mr, Z + mirror_z), (0, 0, 0), (1.0, 1.0, 1.0), SPECULAR),
+        (mr, (mag_x, -OFF + mr, Z + mag_z), (0, 0, 0), mag, SPECULAR),
+        (glass_r, (glass_x, -OFF + glass_r, Z + glass_z), (0, 0, 0), (1.0, 1.0, 1.0), DIELECTRIC),
     ]
-    cam = CameraConfig.make(position=(0.0, 0.0, 2.0), look_at=(0.0, 0.0, Z + OFF * 1.5),
+    cam = CameraConfig.make(position=(0.0, 0.0, cam_z), look_at=(0.0, 0.0, Z + OFF * 1.5),
                             aspect_ratio=width / height,
                             vertical_fov_radians=vfov, aperture=0.0)
     return scene_from_spheres(spheres, cam, anchor_toward=(0.0, 0.0, Z + OFF * 1.5),
