@@ -34,12 +34,15 @@ def bench_disco(width=1024, height=768, spp=8, lanes=1 << 19, repeats=2):
     f = jax.jit(lambda s, i: wf(s, cfg, i, 0, cfg.spp, with_stats=True))
     out, stats = f(scene, ids)
     jax.block_until_ready(out)  # compile + warm
+    # Deterministic per (scene, cfg): read stats once, OUTSIDE the timed
+    # loop — an in-loop int(stats[...]) costs a device->host transfer over
+    # the axon tunnel (~tens of ms) per repeat.
+    segments = int(stats["segments"])
 
-    best, segments = None, 0
+    best = None
     for _ in range(repeats):
         t0 = time.perf_counter()
-        out, stats = f(scene, ids)
-        segments = int(stats["segments"])
+        out, _stats = f(scene, ids)
         jax.block_until_ready(out)
         dt = time.perf_counter() - t0
         best = dt if best is None else min(best, dt)

@@ -319,17 +319,21 @@ def _bench_one(scene_name, width, height, total_spp, *, integ, lanes, repeats,
     f = jax.jit(
         lambda s, i, start: wf(s, cfg, i, start, chunk, with_stats=True)
     )
-    out, _ = f(scene, ids, 0)
-    jax.block_until_ready(out)  # compile + warm
-    best, segments, iters, lanes_used = None, 0, 0, 0
+    # Stats are deterministic per (scene, cfg): read them ONCE, untimed.
+    # Reading stats inside the timed loop costs one device->host transfer
+    # each over the axon tunnel (~tens of ms RTT), which dominated
+    # sub-100ms workloads (suite-vs-probe discrepancy, round 3).
+    segments, iters, lanes_used = 0, 0, 0
+    for start in range(0, spp, chunk):
+        out, stats = f(scene, ids, start)
+        segments += int(stats["segments"])
+        iters += int(stats["iters"])
+        lanes_used = int(stats["lanes"])
+    best = None
     for _ in range(repeats):
         t0 = time.perf_counter()
-        segments, iters = 0, 0
         for start in range(0, spp, chunk):
-            out, stats = f(scene, ids, start)
-            segments += int(stats["segments"])
-            iters += int(stats["iters"])
-            lanes_used = int(stats["lanes"])
+            out, _stats = f(scene, ids, start)
         jax.block_until_ready(out)
         dt = time.perf_counter() - t0
         best = dt if best is None else min(best, dt)
@@ -541,13 +545,14 @@ def cmd_bench(args) -> int:
     )
     out, stats = f(scene, ids)
     jax.block_until_ready(out)  # compile + warm
-    best, segments, iters, lanes = None, 0, 0, 0
+    # Deterministic stats read once, untimed (see _bench_one).
+    segments = int(stats["segments"])
+    iters = int(stats["iters"])
+    lanes = int(stats["lanes"])
+    best = None
     for _ in range(args.repeats):
         t0 = time.perf_counter()
-        out, stats = f(scene, ids)
-        segments = int(stats["segments"])
-        iters = int(stats["iters"])
-        lanes = int(stats["lanes"])
+        out, _stats = f(scene, ids)
         jax.block_until_ready(out)
         dt = time.perf_counter() - t0
         best = dt if best is None else min(best, dt)

@@ -55,7 +55,8 @@ class RenderConfig:
     # 'wavefront' = persistent integrator with ray regeneration, XLA loop
     # body (ops/wavefront.py); 'pallas' = same design with the fused Pallas
     # megakernel loop body (ops/pallas/megakernel.py, f32 only; ~3x the XLA
-    # wavefront on a v5e chip); 'batch' = one launch per sample batch
+    # wavefront on a v5e chip — r1 measurement 618 vs ~200 Mrays/s, r3
+    # headline 951 on disco); 'batch' = one launch per sample batch
     # (required for reverse-mode gradients, i.e. loop='scan').
     integrator: str = "auto"
     # Lane-pool width for the wavefront integrator.

@@ -75,6 +75,10 @@ def main() -> int:
     ap.add_argument("--max-depth", type=int, default=40)
     ap.add_argument("--steps", type=int, default=300)
     ap.add_argument("--lr", type=float, default=5e-3)
+    ap.add_argument("--lr-emission", type=float, default=0.3,
+                    help="separate Adam lr for the emission field: Adam moves "
+                         "each param ~lr per step in ABSOLUTE units, so a "
+                         "30-scale emission is frozen at the albedo lr")
     ap.add_argument("--fields", default="albedo,emission")
     ap.add_argument("--out-json", default=None, help="write the fitted scene here")
     ap.add_argument("--out-png", default=None, help="write a HQ render here")
@@ -107,7 +111,10 @@ def main() -> int:
     ids = jnp.arange(cfg.num_cells, dtype=jnp.int32)
     target = jnp.asarray(golden_target_cells(golden, a.width, a.height))
 
-    optimizer = optax.adam(a.lr)
+    optimizer = optax.multi_transform(
+        {"emission": optax.adam(a.lr_emission), "other": optax.adam(a.lr)},
+        {k: ("emission" if k == "emission" else "other") for k in params},
+    )
     opt_state = optimizer.init(params)
 
     @jax.jit
