@@ -262,3 +262,70 @@ def random_spheres_scene(width: int, height: int, dtype=jnp.float32,
         dtype=dtype,
     )
     return scene_from_spheres(spheres, camera, dtype=dtype)
+
+
+# ---------------------------------------------------------------------------
+# Inverse-rendered reconstructions of the two remaining retired goldens
+# (``samples/clear_light.png``, ``samples/greenish_party.png``): no scene
+# source survives, so the parameters below were RECOVERED BY GRADIENT
+# DESCENT against the golden images themselves (scripts/fit_golden.py:
+# dual-buffer unbiased image loss, structural emission mask, Adam; geometry
+# from the forensic candidate search in scripts/recon_search.py — closed-box
+# geometry has near-zero detached-estimator gradients, so it is searched,
+# not descended).  Note the >1 wall albedos: the reference's own scenes use
+# the same uncapped-albedo idiom (box 1.8, disco 1.92 — SURVEY fidelity #1),
+# under which a dim emitter in a high-albedo cavity lights the room.
+# Pooled MAD vs the goldens at 512x384@256spp: clear_light 22.45/255,
+# greenish_party 34.44/255 (round 3; honest best-effort — the exact original
+# scenes are likely not identifiable from single LDR images).
+# ---------------------------------------------------------------------------
+
+_CLEAR_LIGHT_FIT = {
+    "camera": {"position": [0.0, 0.0, 2.0], "look_at": [0.0, 0.0, -0.4], "up": [0.0, 1.0, 0.0], "vfov": 0.5, "aperture": 0.0, "focus_distance": 2.4, "origin_advance": 0.0},
+    "background": [[0.0, 0.0, 0.0], [0.0, 0.0, 0.0]],
+    "spheres": [
+        {"radius": 1000000.0, "center": [-1000000.4, 0.0, -1.0], "emission": [0.0, 0.0, 0.0], "albedo": [1.806145, 0.90936, 0.91312], "material": "diffuse"},
+        {"radius": 1000000.0, "center": [1000000.4, 0.0, -1.0], "emission": [0.0, 0.0, 0.0], "albedo": [1.191878, 0.979142, 2.035023], "material": "diffuse"},
+        {"radius": 1000000.0, "center": [0.0, 0.0, -1000001.0], "emission": [0.0, 0.0, 0.0], "albedo": [1.909139, 1.83244, 1.904932], "material": "diffuse"},
+        {"radius": 1000000.0, "center": [0.0, 1000000.4, -1.0], "emission": [0.0, 0.0, 0.0], "albedo": [1.130649, 1.845692, 0.886028], "material": "diffuse"},
+        {"radius": 1000000.0, "center": [0.0, -1000000.4, -1.0], "emission": [0.0, 0.0, 0.0], "albedo": [1.730316, 1.875246, 2.053141], "material": "diffuse"},
+        {"radius": 0.2, "center": [0.0, 0.05, -1.15], "emission": [0.720982, 1.029497, 0.717656], "albedo": [0.0, 0.0, 0.0], "material": "diffuse"},
+        {"radius": 0.15, "center": [-0.18, -0.25, -0.55], "emission": [0.0, 0.0, 0.0], "albedo": [1.178525, 1.32017, 1.440975], "material": "specular"},
+        {"radius": 0.15, "center": [0.1, -0.25, -0.8], "emission": [0.0, 0.0, 0.0], "albedo": [1.005957, 0.600496, 0.998942], "material": "specular"},
+        {"radius": 0.2, "center": [0.25, -0.2, -0.35], "emission": [0.0, 0.0, 0.0], "albedo": [1.09007, 0.879637, 1.088926], "material": "dielectric"},
+    ],
+}
+
+
+_GREENISH_PARTY_FIT = {
+    "camera": {"position": [0.0, 0.0, 2.0], "look_at": [0.0, 0.0, -0.4], "up": [0.0, 1.0, 0.0], "vfov": 0.5, "aperture": 0.0, "focus_distance": 2.4, "origin_advance": 0.0},
+    "background": [[0.0, 0.0, 0.0], [0.0, 0.0, 0.0]],
+    "spheres": [
+        {"radius": 1000000.0, "center": [-1000000.4, 0.0, -1.0], "emission": [0.0, 0.0, 0.0], "albedo": [1.082908, 0.979458, 1.051639], "material": "diffuse"},
+        {"radius": 1000000.0, "center": [1000000.4, 0.0, -1.0], "emission": [0.0, 0.0, 0.0], "albedo": [0.98016, 1.009328, 1.015644], "material": "diffuse"},
+        {"radius": 1000000.0, "center": [0.0, 0.0, -1000001.0], "emission": [0.0, 0.0, 0.0], "albedo": [0.969344, 1.645924, 1.040207], "material": "diffuse"},
+        {"radius": 1000000.0, "center": [0.0, 1000000.4, -1.0], "emission": [0.0, 0.0, 0.0], "albedo": [4.247949, 2.507774, 3.896608], "material": "diffuse"},
+        {"radius": 1000000.0, "center": [0.0, -1000000.4, -1.0], "emission": [0.0, 0.0, 0.0], "albedo": [0.675607, 0.674632, 0.676569], "material": "diffuse"},
+        {"radius": 6.0, "center": [0.0, 6.394, -1.0], "emission": [0.576252, 0.975112, 0.399447], "albedo": [0.0, 0.0, 0.0], "material": "diffuse"},
+        {"radius": 0.18, "center": [-0.15, -0.22, -0.65], "emission": [0.0, 0.0, 0.0], "albedo": [1.243715, 1.243422, 1.247555], "material": "specular"},
+        {"radius": 0.18, "center": [0.2, -0.22, -0.4], "emission": [0.0, 0.0, 0.0], "albedo": [1.213531, 1.212633, 1.21522], "material": "dielectric"},
+    ],
+}
+
+
+@register_scene("clear_light")
+def clear_light_scene(width: int, height: int, dtype=jnp.float32) -> Scene:
+    """Inverse-rendered reconstruction of ``samples/clear_light.png`` —
+    see the block comment above ``_CLEAR_LIGHT_FIT``."""
+    from .io import scene_from_dict
+
+    return scene_from_dict(_CLEAR_LIGHT_FIT, width, height, dtype=dtype)
+
+
+@register_scene("greenish_party")
+def greenish_party_scene(width: int, height: int, dtype=jnp.float32) -> Scene:
+    """Inverse-rendered reconstruction of ``samples/greenish_party.png`` —
+    see the block comment above ``_CLEAR_LIGHT_FIT``."""
+    from .io import scene_from_dict
+
+    return scene_from_dict(_GREENISH_PARTY_FIT, width, height, dtype=dtype)
