@@ -276,7 +276,7 @@ def random_spheres_scene(width: int, height: int, dtype=jnp.float32,
 # the same uncapped-albedo idiom (box 1.8, disco 1.92 — SURVEY fidelity #1),
 # under which a dim emitter in a high-albedo cavity lights the room.
 # Pooled MAD vs the goldens at 512x384@256spp: clear_light 22.45/255,
-# greenish_party 34.44/255 (round 3; honest best-effort — the exact original
+# greenish_party 29.96/255 (emissive-ceiling hypothesis) (round 3; honest best-effort — the exact original
 # scenes are likely not identifiable from single LDR images).
 # ---------------------------------------------------------------------------
 
@@ -301,14 +301,14 @@ _GREENISH_PARTY_FIT = {
     "camera": {"position": [0.0, 0.0, 2.0], "look_at": [0.0, 0.0, -0.4], "up": [0.0, 1.0, 0.0], "vfov": 0.5, "aperture": 0.0, "focus_distance": 2.4, "origin_advance": 0.0},
     "background": [[0.0, 0.0, 0.0], [0.0, 0.0, 0.0]],
     "spheres": [
-        {"radius": 1000000.0, "center": [-1000000.4, 0.0, -1.0], "emission": [0.0, 0.0, 0.0], "albedo": [1.082908, 0.979458, 1.051639], "material": "diffuse"},
-        {"radius": 1000000.0, "center": [1000000.4, 0.0, -1.0], "emission": [0.0, 0.0, 0.0], "albedo": [0.98016, 1.009328, 1.015644], "material": "diffuse"},
-        {"radius": 1000000.0, "center": [0.0, 0.0, -1000001.0], "emission": [0.0, 0.0, 0.0], "albedo": [0.969344, 1.645924, 1.040207], "material": "diffuse"},
-        {"radius": 1000000.0, "center": [0.0, 1000000.4, -1.0], "emission": [0.0, 0.0, 0.0], "albedo": [4.247949, 2.507774, 3.896608], "material": "diffuse"},
-        {"radius": 1000000.0, "center": [0.0, -1000000.4, -1.0], "emission": [0.0, 0.0, 0.0], "albedo": [0.675607, 0.674632, 0.676569], "material": "diffuse"},
-        {"radius": 6.0, "center": [0.0, 6.394, -1.0], "emission": [0.576252, 0.975112, 0.399447], "albedo": [0.0, 0.0, 0.0], "material": "diffuse"},
-        {"radius": 0.18, "center": [-0.15, -0.22, -0.65], "emission": [0.0, 0.0, 0.0], "albedo": [1.243715, 1.243422, 1.247555], "material": "specular"},
-        {"radius": 0.18, "center": [0.2, -0.22, -0.4], "emission": [0.0, 0.0, 0.0], "albedo": [1.213531, 1.212633, 1.21522], "material": "dielectric"},
+        {"radius": 1000000.0, "center": [-1000000.4, 0.0, -1.0], "emission": [0.0, 0.0, 0.0], "albedo": [0.714197, 0.335261, 0.39833], "material": "diffuse"},
+        {"radius": 1000000.0, "center": [1000000.4, 0.0, -1.0], "emission": [0.0, 0.0, 0.0], "albedo": [0.358099, 0.343416, 0.664145], "material": "diffuse"},
+        {"radius": 1000000.0, "center": [0.0, 0.0, -1000001.0], "emission": [0.0, 0.0, 0.0], "albedo": [0.930744, 0.981271, 0.876344], "material": "diffuse"},
+        {"radius": 1000000.0, "center": [0.0, 1000000.4, -1.0], "emission": [0.591429, 1.271057, 0.388676], "albedo": [0.491548, 0.496375, 0.283621], "material": "diffuse"},
+        {"radius": 1000000.0, "center": [0.0, -1000000.4, -1.0], "emission": [0.0, 0.0, 0.0], "albedo": [0.121797, 0.208084, 0.20428], "material": "diffuse"},
+        {"radius": 6.0, "center": [0.0, 6.394, -1.0], "emission": [0.316464, 1.023931, 0.232823], "albedo": [0.858522, 0.836706, 0.858508], "material": "diffuse"},
+        {"radius": 0.18, "center": [-0.15, -0.22, -0.65], "emission": [0.0, 0.0, 0.0], "albedo": [0.886497, 0.650784, 0.889905], "material": "specular"},
+        {"radius": 0.18, "center": [0.2, -0.22, -0.4], "emission": [0.0, 0.0, 0.0], "albedo": [0.965219, 0.953432, 1.095912], "material": "dielectric"},
     ],
 }
 

@@ -136,7 +136,7 @@ def build_clear_light(width, height, *, light_r=0.2, light_y=0.05, light_z=-1.15
 def build_greenish_party(width, height, *, light_r=6.0, cap=0.04, light_e=8.0,
                          vfov=0.55, mirror_x=-0.15, glass_x=0.2, ball_r=0.18,
                          light_z=Z, tint=(1.0, 1.0, 1.0),
-                         ceiling=(0.3, 0.7, 0.2)):
+                         ceiling=(0.3, 0.7, 0.2), ceiling_e=(0.0, 0.0, 0.0)):
     """greenish_party.png: the box_scene wall albedos (red left, blue right,
     green back, green top, white floor — src/box_scene.hpp:23-47) with a
     huge white emitter sphere ABOVE the ceiling poking a shallow cap through
@@ -146,6 +146,12 @@ def build_greenish_party(width, height, *, light_r=6.0, cap=0.04, light_e=8.0,
         (0.9, 0.1, 0.2), (0.3, 0.1, 0.9), (0.1, 0.7, 0.2),
         tuple(ceiling), (0.9, 0.9, 0.9),
     ))
+    if any(ceiling_e):
+        # emissive-ceiling hypothesis: the golden's green flood may come from
+        # the ceiling itself glowing (a seed here unlocks the fit_golden
+        # emission mask for the ceiling wall)
+        r, c, _, alb, m = walls[3]
+        walls[3] = (r, c, tuple(ceiling_e), alb, m)
     emission = tuple(light_e * t for t in tint)
     spheres = walls + [
         (light_r, (0.0, OFF + light_r - cap, light_z), emission, (1.0, 1.0, 1.0), DIFFUSE),
