@@ -240,8 +240,10 @@ def cmd_invert(args) -> int:
     optimizer = optax.adam(args.lr)
     opt_state = optimizer.init(params)
 
+    mesh_shape = tuple(int(v) for v in args.mesh.split("x")) if args.mesh else None
     fp = invert_fingerprint(scene, cfg, fields, args.lr,
-                            cell_chunk=args.cell_chunk, sample_chunk=args.sample_chunk)
+                            cell_chunk=args.cell_chunk, sample_chunk=args.sample_chunk,
+                            mesh_shape=mesh_shape)
     state = load_or_init_invert(args.checkpoint, fp, params, opt_state)
     if state.step:
         print(f"resumed from {args.checkpoint} at step {state.step}", file=sys.stderr)

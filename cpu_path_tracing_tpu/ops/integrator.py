@@ -88,7 +88,7 @@ def bounce_step(scene: Scene, state: RayState, uniforms, depth, *, rr_depth, eps
     """
     o, d, thr, emit, alive, result = state
     dt = o.dtype
-    u_rr, u_a, u_b, u_c = uniforms[:, 0], uniforms[:, 1], uniforms[:, 2], uniforms[:, 3]
+    u_rr, u_a, u_b = uniforms[:, 0], uniforms[:, 1], uniforms[:, 2]
 
     t, hid, hit = intersect_scene(scene, o, d, epsilon=epsilon, inf=inf)
 
@@ -131,7 +131,7 @@ def bounce_step(scene: Scene, state: RayState, uniforms, depth, *, rr_depth, eps
     thr_new = thr * al_h * colf[:, None]  # src/main.cpp:139
 
     # ---- scatter (src/main.cpp:141-154) ----
-    d_new = scatter(props.mat_mask, d, n_out, normal, front, u_a, u_b, u_c)
+    d_new = scatter(props.mat_mask, d, n_out, normal, front, u_a, u_b)
 
     cont = alive & hit & ~killed
     cm = cont[:, None]
@@ -199,9 +199,3 @@ def radiance(scene: Scene, origins, directions, keys, *, max_depth=100, rr_depth
             stats["live_per_depth"] = counts
         return out, stats
     return out
-
-
-def _normalize(v):
-    sq = jnp.sum(v * v, axis=-1, keepdims=True)
-    sq = jnp.where(sq > 0, sq, 1.0)
-    return v * jax.lax.rsqrt(sq)

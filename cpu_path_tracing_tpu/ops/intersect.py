@@ -196,9 +196,3 @@ def hit_record(scene: Scene, origins, directions, t, hit_id, props: "SphereProps
 def _rsqrt_safe(x):
     """Gradient-safe rsqrt — identical guard structure to the megakernel's."""
     return jax.lax.rsqrt(jnp.where(x > 0, x, 1.0))
-
-
-def _normalize(v):
-    sq = jnp.sum(v * v, axis=-1, keepdims=True)
-    sq = jnp.where(sq > 0, sq, 1.0)
-    return v * jax.lax.rsqrt(sq)

@@ -125,7 +125,7 @@ def schlick(cosine, ref_idx):
     return r0 + (1.0 - r0) * (m * m * m * m * m)
 
 
-def scatter(mat_mask, d_in, outward_normal, normal, front, u_a, u_b, u_c):
+def scatter(mat_mask, d_in, outward_normal, normal, front, u_a, u_b):
     """Blend all three samplers by the one-hot material mask (replaces the
     ``switch`` at ``src/main.cpp:141-154``).  Returns new (unnormalized-ok)
     directions [B,3].

@@ -119,16 +119,22 @@ class InvertState:
 
 
 def invert_fingerprint(scene: Scene, cfg: RenderConfig, fields, lr: float,
-                       cell_chunk=None, sample_chunk=None) -> str:
+                       cell_chunk=None, sample_chunk=None, mesh_shape=None) -> str:
     """Fingerprint for inverse-mode checkpoints: the render fingerprint plus
     everything that shapes the optimization trajectory.  The accumulation
     chunk sizes are included because a resume under different chunking
     reorders float accumulation — the continued trajectory is bitwise-exact
-    only under unchanged chunking."""
+    only under unchanged chunking.  The mesh shape is included for the same
+    reason: sharded gradient accumulation (psum across shards vs sequential)
+    reorders the float sums, so a single-chip checkpoint must not silently
+    continue under --mesh (or a different mesh).
+
+    ``mesh_shape``: (n_tiles, n_samples) tuple, or None for single-chip."""
     h = hashlib.sha256()
     h.update(_fingerprint(scene, cfg).encode())
     h.update(json.dumps({"fields": sorted(fields), "lr": lr, "spp": cfg.spp,
-                         "cell_chunk": cell_chunk, "sample_chunk": sample_chunk}).encode())
+                         "cell_chunk": cell_chunk, "sample_chunk": sample_chunk,
+                         "mesh": list(mesh_shape) if mesh_shape else None}).encode())
     return h.hexdigest()[:16]
 
 

@@ -5,10 +5,11 @@ set -euo pipefail
 cd "$(dirname "$0")/.."
 
 echo "== repo hygiene =="
-if git ls-files | grep -q '^_'; then
+# __graft_entry__.py is the one sanctioned root-level _* file (driver harness).
+if git ls-files | grep '^_' | grep -vq '^__graft_entry__'; then
     echo "ERROR: root-level _* scratch files are not allowed:" >&2
-    git ls-files | grep '^_' | grep -v '^__graft_entry__' >&2 || true
-    git ls-files | grep '^_' | grep -vq '^__graft_entry__' && exit 1
+    git ls-files | grep '^_' | grep -v '^__graft_entry__' >&2
+    exit 1
 fi
 
 echo "== compile check =="

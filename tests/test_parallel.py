@@ -115,6 +115,45 @@ def test_sharded_accum_train_step_matches_single_chip():
                 err_msg=f"mesh={dict(mesh.shape)} chunk=({cc},{sc_}) leaf={k}")
 
 
+def test_sharded_accum_train_step_pallas_branch_matches():
+    """Exactness-gate the check_vma=False collective branch of
+    make_sharded_accum_train_step (ADVICE r3, medium): that branch is taken
+    when the forward resolves to the pallas megakernel — i.e. exactly where
+    the feature runs in production (TPU f32 meshes) — but the CPU suite's
+    auto-resolved runs only ever exercised the vma branch.  Forcing
+    integrator='pallas' runs the interpret-mode kernel on CPU and takes the
+    psum-over-tiles + pmean-over-samples gradient reduction; a wrong
+    collective here mis-scales grads by n_tiles or n_samples, far outside
+    the f32 tolerance below."""
+    import optax
+
+    from cpu_path_tracing_tpu.grad import (
+        make_accum_train_step,
+        make_sharded_accum_train_step,
+        render_target,
+        split_params,
+    )
+
+    cfg = RenderConfig(width=8, height=8, spp=4, max_depth=6,
+                       integrator="pallas", wavefront_lanes=1 << 13)
+    scene = get_scene("box", 8, 8)  # f32: the pallas path's dtype
+    target = render_target(scene, cfg) * 0.9
+    params0 = split_params(scene, ("albedo", "emission"))
+    optimizer = optax.adam(1e-2)
+
+    ref_step = make_accum_train_step(scene, cfg, optimizer, sample_chunk=2)
+    p_ref, _, l_ref = ref_step(params0, optimizer.init(params0), target)
+
+    mesh = make_mesh(n_tiles=4, n_samples=2)
+    step = make_sharded_accum_train_step(mesh, scene, cfg, optimizer, sample_chunk=2)
+    p, _, l = step(params0, optimizer.init(params0), target)
+    assert abs(float(l) - float(l_ref)) < 1e-5 * max(1.0, abs(float(l_ref)))
+    for k in p_ref:
+        np.testing.assert_allclose(
+            np.asarray(p[k]), np.asarray(p_ref[k]), rtol=5e-4, atol=1e-6,
+            err_msg=f"leaf={k}")
+
+
 def test_sharded_train_step_matches_single_device():
     """make_sharded_train_step must reproduce the single-device train_step
     exactly (not just up to Adam's scale invariance — the r2 version left
