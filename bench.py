@@ -6,8 +6,16 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 "Rays" counts traced path segments (live lanes summed over bounce
 iterations), not just camera rays — the honest denominator for a path
-tracer's throughput.  The render is the persistent wavefront integrator
-(ops/wavefront.py), the production forward path.
+tracer's throughput.  The render is the persistent Pallas megakernel
+(ops/pallas/megakernel.py make_persistent_kernel) — the production forward
+path: the whole wavefront loop inside one kernel launch with lane state
+resident in VMEM (PERF.md).
+
+Timing is synchronized by ``jax.device_get`` of a scalar reduction of the
+output, NOT ``block_until_ready``: through the axon tunnel the latter can
+return before execution completes (measured: an 8192^3 matmul "finished" in
+0.1 ms by block_until_ready vs ~84 ms real), while a device_get cannot lie
+— and its scalar round-trip costs only ~10 us here.
 """
 
 from __future__ import annotations
@@ -19,31 +27,37 @@ import jax
 import jax.numpy as jnp
 
 import cpu_path_tracing_tpu as pt
-from cpu_path_tracing_tpu.ops.wavefront import render_wavefront, render_wavefront_pallas
+from cpu_path_tracing_tpu.ops.wavefront import (
+    render_wavefront,
+    render_wavefront_pallas_persistent,
+)
 
 BASELINE_MRAYS = 100.0
 
 
-def bench_disco(width=1024, height=768, spp=8, lanes=1 << 19, repeats=2):
-    cfg = pt.RenderConfig(width=width, height=height, spp=spp, max_depth=100,
-                          wavefront_lanes=lanes)
+def bench_disco(width=1024, height=768, spp=8, repeats=3):
+    cfg = pt.RenderConfig(width=width, height=height, spp=spp, max_depth=100)
     scene = pt.get_scene("box_mirror", width, height)
     ids = jnp.arange(cfg.num_cells, dtype=jnp.int32)
 
-    wf = render_wavefront_pallas if jax.default_backend() == "tpu" else render_wavefront
-    f = jax.jit(lambda s, i: wf(s, cfg, i, 0, cfg.spp, with_stats=True))
-    out, stats = f(scene, ids)
-    jax.block_until_ready(out)  # compile + warm
+    on_tpu = jax.default_backend() == "tpu"
+    wf = render_wavefront_pallas_persistent if on_tpu else render_wavefront
+
+    def run(s, i):
+        out, stats = wf(s, cfg, i, 0, cfg.spp, with_stats=True)
+        return jnp.sum(out), stats["segments"]
+
+    f = jax.jit(run)
+    tot, seg = f(scene, ids)
     # Deterministic per (scene, cfg): read stats once, OUTSIDE the timed
-    # loop — an in-loop int(stats[...]) costs a device->host transfer over
-    # the axon tunnel (~tens of ms) per repeat.
-    segments = int(stats["segments"])
+    # loop — an in-loop transfer costs a tunnel RTT per repeat.
+    segments = int(jax.device_get(seg))
 
     best = None
     for _ in range(repeats):
         t0 = time.perf_counter()
-        out, _stats = f(scene, ids)
-        jax.block_until_ready(out)
+        tot, _seg = f(scene, ids)
+        jax.device_get(tot)  # forces real completion (see module docstring)
         dt = time.perf_counter() - t0
         best = dt if best is None else min(best, dt)
     return segments / best / 1e6, segments, best

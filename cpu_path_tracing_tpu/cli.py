@@ -21,7 +21,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import RenderConfig, get_scene, scene_names, write_png, write_ppm
-from .render import finalize_image
 from .utils.checkpoint import render_progressive
 from .utils.metrics import ProgressLogger, RenderReport, Timer
 from .utils.profiling import maybe_trace

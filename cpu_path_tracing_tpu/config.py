@@ -72,6 +72,16 @@ class RenderConfig:
     # Progressive checkpointing: flush accumulators every N sample batches
     # (0 = disabled).  See utils/checkpoint.py.
     checkpoint_every: int = 0
+    # Pallas integrator mode: True = persistent megakernel (the whole
+    # wavefront loop inside ONE pallas_call, lane pool resident in VMEM —
+    # ~1.5x the per-step path on v5e and the production default; see
+    # ops/pallas/megakernel.py make_persistent_kernel and PERF.md);
+    # False = per-step kernel with the loop carried by XLA.
+    pallas_persistent: bool = True
+    # Persistent-kernel lane-pool height in sublane rows (pool = rows x 128
+    # lanes).  Small pools maximize generation count and minimize the drain
+    # tail; 32 rows (4096 lanes) measured best on v5e across scenes.
+    pallas_rows: int = 32
 
     @property
     def total_spp(self) -> int:

@@ -22,10 +22,8 @@ ops/intersect.py for the measurement.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
-from ..models.scene import DIFFUSE, SPECULAR, DIELECTRIC
 from .intersect import _rsqrt_safe
 
 # Reference constants: src/main.cpp:62 (fuzziness, always 0 and its "fuzz" is

@@ -39,7 +39,6 @@ from __future__ import annotations
 
 import functools
 import math
-from typing import Sequence
 
 import jax
 import jax.numpy as jnp
@@ -120,11 +119,25 @@ def _sqrt_safe(x):
     return jnp.sqrt(jnp.maximum(x, 0.0))
 
 
-def make_kernel(cfg: RenderConfig, *, n_spheres: int, n_cells: int, n_items: int,
-                n_gens: int, lanes: int, ring_depth: int, rows: int):
-    """Build the kernel body with all static configuration baked in."""
+def make_step_math(cfg: RenderConfig, *, n_spheres: int, n_cells: int,
+                   n_items: int, n_gens: int, stride: int, ring_depth: int):
+    """One fused wavefront iteration as pure array math over the SoA state
+    dict: regeneration (queue pop + camera raygen) -> bounce RNG -> unrolled
+    intersect -> shade -> alive/result update.  Shared verbatim by the
+    per-step kernel (``make_kernel``) and the persistent kernel
+    (``make_persistent_kernel``) so the two compile the IDENTICAL expression
+    chains — the bitwise XLA/Mosaic parity invariant (module docstring)
+    holds for both by construction.
+
+    ``stride`` is the lane-pool width B used in the item mapping
+    ``item = gen * stride + lane`` (the whole pool for the per-step kernel,
+    the single resident tile for the persistent kernel).
+
+    Returns ``step(s, table_ref, cam_ref, cell_start, sample_start, g_flush,
+    lane_global) -> (s', was_alive, finished)``.
+    """
     K = ring_depth
-    B = lanes
+    B = stride
     W, H, ns = cfg.width, cfg.height, cfg.num_subpixels
     total_cells = W * H * ns * ns
     sub_len = np.float32(1.0 / ns)
@@ -134,26 +147,7 @@ def make_kernel(cfg: RenderConfig, *, n_spheres: int, n_cells: int, n_items: int
     rr_depth = cfg.rr_depth
     N = n_spheres
 
-    def kernel(table_ref, cam_ref, dyn_ref, *refs):
-        nstate = len(STATE_NAMES)
-        in_refs = dict(zip(STATE_NAMES, refs[:nstate]))
-        ring_in = dict(zip(RING_NAMES, refs[nstate : nstate + 3]))
-        out_refs = dict(zip(STATE_NAMES, refs[nstate + 3 : 2 * nstate + 3]))
-        ring_out = dict(zip(RING_NAMES, refs[2 * nstate + 3 : 2 * nstate + 6]))
-        nseg_ref = refs[2 * nstate + 6]
-
-        g_flush = dyn_ref[0]
-        cell_start = dyn_ref[1]
-        sample_start = dyn_ref[2]
-
-        s = {n: in_refs[n][...] for n in STATE_NAMES}
-        i = pl.program_id(0)
-        lane_global = (
-            i * (rows * LANE)
-            + jax.lax.broadcasted_iota(jnp.int32, (rows, LANE), 0) * LANE
-            + jax.lax.broadcasted_iota(jnp.int32, (rows, LANE), 1)
-        )
-
+    def step(s, table_ref, cam_ref, cell_start, sample_start, g_flush, lane_global):
         alive = s["alive"] != 0
 
         # ---------------- regeneration (queue pop + camera) ----------------
@@ -218,11 +212,6 @@ def make_kernel(cfg: RenderConfig, *, n_spheres: int, n_cells: int, n_items: int
         s["k0"] = merge(real, a0, s["k0"])
         s["k1"] = merge(real, a1, s["k1"])
         was_alive = alive | real
-
-        # Per-tile segment count, broadcast over the (8,128) min tile (SMEM
-        # scalar outputs are not blockable per-tile under Mosaic's tiling
-        # rules); the host sums element [0,0] of each tile.
-        nseg_ref[...] = jnp.full((8, LANE), jnp.sum(was_alive.astype(jnp.int32)), jnp.int32)
 
         # ---------------- bounce uniforms (ops/rng.py layout) ---------------
         purpose = jax.lax.bitcast_convert_type(s["depth"] + 1, jnp.uint32)
@@ -403,8 +392,50 @@ def make_kernel(cfg: RenderConfig, *, n_spheres: int, n_cells: int, n_items: int
         s["depth"] = depth_new
         s["alive"] = alive_new.astype(jnp.int32)
 
-        # ---------------- retire into the dense ring ------------------------
         finished = was_alive & ~alive_new
+        return s, was_alive, finished
+
+    return step
+
+
+def make_kernel(cfg: RenderConfig, *, n_spheres: int, n_cells: int, n_items: int,
+                n_gens: int, lanes: int, ring_depth: int, rows: int):
+    """Per-step kernel body (one iteration per pallas_call; the surrounding
+    lax.while_loop lives in XLA — see render_wavefront_pallas)."""
+    K = ring_depth
+    step = make_step_math(cfg, n_spheres=n_spheres, n_cells=n_cells,
+                          n_items=n_items, n_gens=n_gens, stride=lanes,
+                          ring_depth=ring_depth)
+
+    def kernel(table_ref, cam_ref, dyn_ref, *refs):
+        nstate = len(STATE_NAMES)
+        in_refs = dict(zip(STATE_NAMES, refs[:nstate]))
+        ring_in = dict(zip(RING_NAMES, refs[nstate : nstate + 3]))
+        out_refs = dict(zip(STATE_NAMES, refs[nstate + 3 : 2 * nstate + 3]))
+        ring_out = dict(zip(RING_NAMES, refs[2 * nstate + 3 : 2 * nstate + 6]))
+        nseg_ref = refs[2 * nstate + 6]
+
+        g_flush = dyn_ref[0]
+        cell_start = dyn_ref[1]
+        sample_start = dyn_ref[2]
+
+        s = {n: in_refs[n][...] for n in STATE_NAMES}
+        i = pl.program_id(0)
+        lane_global = (
+            i * (rows * LANE)
+            + jax.lax.broadcasted_iota(jnp.int32, (rows, LANE), 0) * LANE
+            + jax.lax.broadcasted_iota(jnp.int32, (rows, LANE), 1)
+        )
+
+        s, was_alive, finished = step(s, table_ref, cam_ref, cell_start,
+                                      sample_start, g_flush, lane_global)
+
+        # Per-tile segment count, broadcast over the (8,128) min tile (SMEM
+        # scalar outputs are not blockable per-tile under Mosaic's tiling
+        # rules); the host sums element [0,0] of each tile.
+        nseg_ref[...] = jnp.full((8, LANE), jnp.sum(was_alive.astype(jnp.int32)), jnp.int32)
+
+        # ---------------- retire into the dense ring ------------------------
         slot = s["gen"] % K
         for k in range(K):
             mk = finished & (slot == k)
@@ -491,3 +522,155 @@ def megakernel_step(state: dict, ring: dict, table, cam, dyn, *, cfg: RenderConf
     ring_out = dict(zip(RING_NAMES, outs[n_state : n_state + 3]))
     nseg = jnp.sum(outs[n_state + 3].reshape(grid[0], 8, LANE)[:, 0, 0], dtype=jnp.int32)
     return state_out, ring_out, nseg
+
+
+# ---------------------------------------------------------------------------
+# Persistent megakernel: the ENTIRE wavefront loop inside one pallas_call.
+# ---------------------------------------------------------------------------
+
+def make_persistent_kernel(cfg: RenderConfig, *, n_spheres: int, n_cells: int,
+                           n_items: int, n_gens: int, rows: int,
+                           ring_depth: int):
+    """Whole-render kernel: the wavefront ``while`` loop runs INSIDE the
+    kernel with all lane state resident in VMEM scratch.
+
+    Motivation (PERF.md): the per-step kernel is HBM-bound — every iteration
+    round-trips the 20 SoA state arrays plus the K-deep ring through HBM
+    (~184 MB/iteration at the production pool width), which caps disco at
+    ~1 Gray/s at a measured ~620 GB/s of achieved bandwidth.  Keeping the
+    pool in VMEM leaves only the per-generation result flush
+    (rows x 128 x 3 f32, DMA'd to the HBM output buffer) as off-chip
+    traffic, moving the bound to the VPU.
+
+    Design deltas vs the per-step kernel:
+      * no grid — ONE resident lane tile of ``rows*128`` lanes; generations
+        stripe the whole item range over this single pool (``stride`` =
+        pool width), so per-item math and results are bitwise identical to
+        the per-step kernel / XLA wavefront for the same pool width.
+      * ring is a (K, 3, rows, 128) VMEM scratch; a completed generation is
+        DMA'd to ``out[g]`` (shape (n_gens, 3, rows, 128), ANY/HBM) and the
+        slot is zeroed in place.
+      * loop carry is three scalars (g_flush, nseg, iters); everything else
+        lives in mutable scratch refs.
+    """
+    K = ring_depth
+    step = make_step_math(cfg, n_spheres=n_spheres, n_cells=n_cells,
+                          n_items=n_items, n_gens=n_gens, stride=rows * LANE,
+                          ring_depth=ring_depth)
+
+    def kernel(table_ref, cam_ref, dyn_ref, out_ref, nseg_ref, iters_ref,
+               *scratch):
+        state_scr = dict(zip(STATE_NAMES, scratch[: len(STATE_NAMES)]))
+        ring_scr = scratch[len(STATE_NAMES)]
+        sem = scratch[len(STATE_NAMES) + 1]
+
+        cell_start = dyn_ref[0]
+        sample_start = dyn_ref[1]
+        lane_local = (
+            jax.lax.broadcasted_iota(jnp.int32, (rows, LANE), 0) * LANE
+            + jax.lax.broadcasted_iota(jnp.int32, (rows, LANE), 1)
+        )
+
+        # ---- init: all lanes idle, nothing processed yet -------------------
+        izero = jnp.zeros((rows, LANE), jnp.int32)
+        for n in F32_STATE:
+            state_scr[n][...] = izero.astype(jnp.float32)
+        state_scr["alive"][...] = izero
+        state_scr["depth"][...] = izero
+        state_scr["gen"][...] = izero - 1
+        state_scr["k0"][...] = izero.astype(jnp.uint32)
+        state_scr["k1"][...] = izero.astype(jnp.uint32)
+        ring_scr[...] = jnp.zeros((K, 3, rows, LANE), jnp.float32)
+
+        def cond(carry):
+            g_flush, _, _ = carry
+            return g_flush < n_gens
+
+        def body(carry):
+            g_flush, nseg, iters = carry
+            s = {n: state_scr[n][...] for n in STATE_NAMES}
+            s, was_alive, finished = step(s, table_ref, cam_ref, cell_start,
+                                          sample_start, g_flush, lane_local)
+            nseg = nseg + jnp.sum(was_alive.astype(jnp.int32), dtype=jnp.int32)
+            iters = iters + 1
+
+            # Retire finished results into the resident ring.
+            slot = s["gen"] % K
+            for k in range(K):
+                mk = finished & (slot == k)
+                ring_scr[k, 0] = ring_scr[k, 0] + jnp.where(mk, s["rsx"], 0.0)
+                ring_scr[k, 1] = ring_scr[k, 1] + jnp.where(mk, s["rsy"], 0.0)
+                ring_scr[k, 2] = ring_scr[k, 2] + jnp.where(mk, s["rsz"], 0.0)
+            for n in STATE_NAMES:
+                state_scr[n][...] = s[n]
+
+            # Watermark: generations every lane has fully passed.
+            low = jnp.where(s["alive"] != 0, s["gen"] - 1, s["gen"])
+            watermark = jnp.min(low)
+            do_flush = g_flush <= watermark
+
+            @pl.when(do_flush)
+            def _flush():
+                fslot = g_flush % K
+                dma = pltpu.make_async_copy(
+                    ring_scr.at[fslot], out_ref.at[g_flush], sem)
+                dma.start()
+                dma.wait()
+                for k in range(K):
+                    @pl.when(fslot == k)
+                    def _clear(k=k):
+                        ring_scr[k] = jnp.zeros((3, rows, LANE), jnp.float32)
+
+            g_flush = g_flush + do_flush.astype(jnp.int32)
+            return g_flush, nseg, iters
+
+        zero = jnp.int32(0)
+        _, nseg, iters = jax.lax.while_loop(cond, body, (zero, zero, zero))
+        nseg_ref[0, 0] = nseg
+        iters_ref[0, 0] = iters
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "n_spheres", "n_cells", "n_items", "n_gens",
+                     "rows", "ring_depth", "interpret"),
+)
+def persistent_render(table, cam, dyn, *, cfg: RenderConfig, n_spheres: int,
+                      n_cells: int, n_items: int, n_gens: int, rows: int,
+                      ring_depth: int, interpret: bool = False):
+    """Run the whole wavefront render in one kernel launch.
+
+    Args:
+      table: [N,16] f32 (pack_scene); cam: [20] f32 (pack_camera);
+      dyn: [2] i32 (cell_start, sample_start).
+    Returns (out [n_gens, 3, rows, 128] f32, nseg, iters).
+    """
+    kernel = make_persistent_kernel(
+        cfg, n_spheres=n_spheres, n_cells=n_cells, n_items=n_items,
+        n_gens=n_gens, rows=rows, ring_depth=ring_depth)
+
+    out, nseg, iters = pl.pallas_call(
+        kernel,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 3,
+        out_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_gens, 3, rows, LANE), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+        ],
+        scratch_shapes=(
+            [pltpu.VMEM((rows, LANE), jnp.float32) for _ in F32_STATE]
+            + [pltpu.VMEM((rows, LANE), jnp.int32) for _ in I32_STATE]
+            + [pltpu.VMEM((rows, LANE), jnp.uint32) for _ in U32_STATE]
+            + [pltpu.VMEM((ring_depth, 3, rows, LANE), jnp.float32),
+               pltpu.SemaphoreType.DMA]
+        ),
+        interpret=interpret,
+    )(table, cam, dyn)
+    return out, nseg[0, 0], iters[0, 0]

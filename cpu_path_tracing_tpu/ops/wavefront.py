@@ -369,3 +369,76 @@ def render_wavefront_pallas(
     if with_stats:
         return sums, {"segments": nseg, "iters": iters, "lanes": B}
     return sums
+
+
+def render_wavefront_pallas_persistent(
+    scene: Scene,
+    cfg: RenderConfig,
+    cell_ids,
+    sample_start,
+    num_samples: int,
+    *,
+    rows: int | None = None,
+    ring_depth: int | None = None,
+    interpret: bool = False,
+    with_stats: bool = False,
+):
+    """Whole-render persistent megakernel: one pallas_call per launch.
+
+    Same queue/generation/ring design as render_wavefront_pallas, but the
+    wavefront loop runs INSIDE the kernel with the lane pool resident in
+    VMEM scratch (ops/pallas/megakernel.py make_persistent_kernel) — per
+    iteration nothing round-trips HBM except the per-generation result
+    flush, which removes the state-traffic bound of the per-step path
+    (PERF.md).  The pool is one rows x 128 tile; per-item radiance depends
+    only on (cell, sample) via the item keys, so results are bitwise
+    identical to BOTH other wavefront paths regardless of pool width.
+    """
+    from .pallas.megakernel import (
+        LANE,
+        DEFAULT_ROWS,
+        pack_camera,
+        pack_scene,
+        persistent_render,
+    )
+
+    from ..render import check_contiguous_cells  # local import to avoid cycle
+
+    check_contiguous_cells(cell_ids)
+    if scene.p0.dtype != jnp.float32:
+        raise ValueError("the pallas wavefront path is float32-only")
+    interpret = interpret or jax.devices()[0].platform != "tpu"
+    rows = rows or cfg.pallas_rows or DEFAULT_ROWS
+    # Deeper default ring than the per-step path: ring traffic is VMEM-only
+    # here, so K=16 buys straggler headroom for free (measured: occ
+    # 0.72 -> 0.84 on disco going K=8 -> 16).
+    if ring_depth is None and cfg.wavefront_ring is None:
+        ring_depth = 16
+    K = _resolve_ring_depth(cfg, ring_depth)
+    n_cells = cell_ids.shape[0]
+    n_items = n_cells * num_samples
+    Bt = rows * LANE
+    n_gens = -(-n_items // Bt)
+
+    table = pack_scene(scene)
+    cam = pack_camera(scene)
+    vzero = (cell_ids[0] * 0).astype(jnp.int32)
+    dyn = jnp.stack(
+        [cell_ids[0], jnp.asarray(sample_start, jnp.int32) + vzero]
+    ).astype(jnp.int32)
+
+    out, nseg, iters = persistent_render(
+        table, cam, dyn, cfg=cfg, n_spheres=scene.num_spheres,
+        n_cells=n_cells, n_items=n_items, n_gens=n_gens, rows=rows,
+        ring_depth=K, interpret=interpret,
+    )
+    # out[g, c, row, lane] -> item-major [G*Bt, 3]; flat index
+    # (g*Bt + row*128 + lane) IS the global item index.
+    res = jnp.moveaxis(out.reshape(n_gens, 3, Bt), 1, 2).reshape(n_gens * Bt, 3)
+    per_sample = res[:n_items].reshape(num_samples, n_cells, 3)
+    sums = jax.lax.fori_loop(
+        1, num_samples, lambda i, acc: acc + per_sample[i], per_sample[0]
+    )
+    if with_stats:
+        return sums, {"segments": nseg, "iters": iters, "lanes": Bt}
+    return sums

@@ -124,6 +124,11 @@ def render_cells_range(scene: Scene, cfg: RenderConfig, cell_ids, sample_start, 
 
         return render_wavefront(scene, cfg, cell_ids, sample_start, num_samples)
     if integ == "pallas" and cfg.loop == "while":
+        if cfg.pallas_persistent:
+            from .ops.wavefront import render_wavefront_pallas_persistent
+
+            return render_wavefront_pallas_persistent(
+                scene, cfg, cell_ids, sample_start, num_samples)
         from .ops.wavefront import render_wavefront_pallas
 
         return render_wavefront_pallas(scene, cfg, cell_ids, sample_start, num_samples)
@@ -173,6 +178,12 @@ def tune_wavefront(scene: Scene, cfg: RenderConfig, probe_cells: int = 1 << 15) 
     """
     from .ops import rng as rng_ops
     from .ops.integrator import radiance
+
+    # The persistent megakernel ignores the lane-pool width (its pool is the
+    # fixed cfg.pallas_rows x 128 resident tile) and its VMEM-only ring makes
+    # the K tradeoff nearly free — nothing to tune.
+    if resolve_integrator(scene, cfg) == "pallas" and cfg.pallas_persistent:
+        return cfg
 
     n = cfg.num_cells
     stride = max(1, n // probe_cells)

@@ -17,7 +17,6 @@ Usage: python scripts/perf_probe.py [--json out.json]
 from __future__ import annotations
 
 import argparse
-import functools
 import json
 import time
 

@@ -15,8 +15,14 @@ fi
 echo "== compile check =="
 python -m compileall -q cpu_path_tracing_tpu tests bench.py __graft_entry__.py
 
+echo "== lint (unconditional; scripts/lint.py, stdlib AST) =="
+# The reference's clang-tidy gate is unconditional (WarningsAsErrors: '1',
+# scripts/precommit.sh:7 there); this one must be too — scripts/lint.py has
+# zero dependencies, so there is no "linter not installed" escape hatch.
+python scripts/lint.py
+
 if command -v ruff >/dev/null 2>&1; then
-    echo "== ruff =="
+    echo "== ruff (supplementary, when available) =="
     ruff check cpu_path_tracing_tpu tests
 fi
 

@@ -7,7 +7,6 @@ resume-after-kill rendering only the missing tiles, and checkpoint fingerprint
 mismatch rejection.
 """
 
-import jax.numpy as jnp
 import numpy as np
 import pytest
 

@@ -233,7 +233,6 @@ def test_accum_train_step_matches_monolithic():
 
     cfg = pt.RenderConfig(width=10, height=8, spp=4, max_depth=8)
     scene = pt.get_scene("box", cfg.width, cfg.height, dtype=jnp.float64)
-    ids = jnp.arange(cfg.num_cells, dtype=jnp.int32)
     target = render_target(scene, cfg) * 0.9
     params0 = split_params(scene, ("albedo", "emission"))
 

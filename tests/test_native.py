@@ -9,7 +9,7 @@ import numpy as np
 import pytest
 
 from cpu_path_tracing_tpu.utils import native
-from cpu_path_tracing_tpu.utils.image import color_to_int, read_ppm, tonemap
+from cpu_path_tracing_tpu.utils.image import read_ppm, tonemap
 
 pytestmark = pytest.mark.skipif(not native.available(), reason="native lib unavailable")
 

@@ -106,6 +106,55 @@ def test_pallas_megakernel_matches_xla():
             np.testing.assert_allclose(pal, ref, atol=1e-5, rtol=1e-5, err_msg=name)
 
 
+def test_persistent_megakernel_matches_per_step():
+    """Whole-loop persistent kernel (interpret mode) vs the per-step pallas
+    path and the XLA wavefront: per-item radiance depends only on
+    (cell, sample) via the item keys, so the persistent kernel must be
+    BITWISE equal to the per-step kernel regardless of pool width — and to
+    the XLA wavefront under the same caveats as
+    test_pallas_megakernel_matches_xla (sky-lane fma grouping)."""
+    from cpu_path_tracing_tpu.ops.wavefront import (
+        render_wavefront_pallas,
+        render_wavefront_pallas_persistent,
+    )
+
+    cfg = pt.RenderConfig(width=16, height=12, spp=2, max_depth=16)
+    for name, bitwise in (("box_mirror", True), ("smallpt", True),
+                          ("simple", False)):
+        scene = pt.get_scene(name, 16, 12)
+        ids = _cells(cfg)
+        ref = np.asarray(render_wavefront(scene, cfg, ids, 0, 2, lanes=8192))
+        per = np.asarray(
+            render_wavefront_pallas(scene, cfg, ids, 0, 2, lanes=8192, rows=8,
+                                    interpret=True))
+        new, st = render_wavefront_pallas_persistent(
+            scene, cfg, ids, 0, 2, rows=8, interpret=True, with_stats=True)
+        new = np.asarray(new)
+        np.testing.assert_array_equal(new, per, err_msg=name)
+        if bitwise:
+            np.testing.assert_array_equal(new, ref, err_msg=name)
+        else:
+            np.testing.assert_allclose(new, ref, atol=1e-5, rtol=1e-5, err_msg=name)
+        assert int(st["segments"]) > 0 and int(st["iters"]) > 0
+
+
+def test_persistent_rows_and_ring_invariance():
+    """Pool height and ring depth are schedule knobs, not semantics."""
+    from cpu_path_tracing_tpu.ops.wavefront import (
+        render_wavefront_pallas_persistent,
+    )
+
+    cfg = pt.RenderConfig(width=12, height=8, spp=2, max_depth=10)
+    scene = pt.get_scene("box", 12, 8)
+    ids = _cells(cfg)
+    ref = np.asarray(render_wavefront_pallas_persistent(
+        scene, cfg, ids, 0, 2, rows=8, interpret=True))
+    for rows, ring in ((16, 16), (8, 4), (32, 8)):
+        out = np.asarray(render_wavefront_pallas_persistent(
+            scene, cfg, ids, 0, 2, rows=rows, ring_depth=ring, interpret=True))
+        np.testing.assert_array_equal(out, ref, err_msg=f"rows={rows} K={ring}")
+
+
 def test_pallas_integrator_dispatch():
     """cfg.integrator='pallas' routes through render_cells_range."""
     cfg = pt.RenderConfig(width=8, height=6, spp=1, max_depth=8, integrator="pallas")
