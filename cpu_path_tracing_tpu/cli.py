@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -186,15 +187,34 @@ def _render_multihost(args) -> int:
     scene = _scene(args, cfg)
     mesh = global_mesh(n_samples=int(args.mesh.split("x")[1]) if args.mesh else 1)
     pid = jax.process_index()
+    for flag in ("tile_cells", "checkpoint", "preview"):
+        if getattr(args, flag, None):
+            print(f"WARNING: --{flag.replace('_', '-')} is a single-process "
+                  f"feature and is ignored under --num-processes",
+                  file=sys.stderr)
 
     with Timer() as t:
         if args.shard_dir:
-            shards = render_shard_multihost(scene, cfg, mesh)
-            write_shards(args.shard_dir, shards, cfg, pid)
-            from jax.experimental import multihost_utils
+            from .parallel.distributed import wait_for_shards
 
-            multihost_utils.sync_global_devices("shards_written")
-            img = assemble_shards(args.shard_dir, cfg) if pid == 0 else None
+            shards = render_shard_multihost(scene, cfg, mesh)
+            if args.inject_shard_loss is not None and pid == args.inject_shard_loss:
+                # Fault injection (tests): this "host" dies after rendering
+                # but before persisting its shard — the crash-at-the-worst-
+                # moment case recovery must cover.
+                print(f"inject-shard-loss: process {pid} exiting", file=sys.stderr)
+                sys.stderr.flush()
+                os._exit(3)
+            write_shards(args.shard_dir, shards, cfg, pid)
+            if pid == 0:
+                # Elastic: a file-based wait (atomic shard writes) instead of
+                # a collective barrier a dead host would hang forever.
+                names = wait_for_shards(args.shard_dir, jax.process_count(),
+                                        timeout=args.shard_timeout)
+                lost_hosts = len(names) < jax.process_count()
+                img = assemble_shards(args.shard_dir, cfg, scene=scene)
+            else:
+                img = None
         else:
             img = jax.block_until_ready(render_image_multihost(scene, cfg, mesh))
     if pid == 0:
@@ -206,6 +226,14 @@ def _render_multihost(args) -> int:
             f"{args.out} in {t.seconds:.2f}s",
             file=sys.stderr,
         )
+        if args.shard_dir and lost_hosts:
+            # A host died: jax.distributed's atexit shutdown barrier would
+            # fatally abort this process (the coordination service already
+            # marked the dead task ERROR) AFTER our successful recovery.
+            # The image is written and synced — exit cleanly and skip it.
+            sys.stderr.flush()
+            sys.stdout.flush()
+            os._exit(0)
     return 0
 
 
@@ -598,6 +626,17 @@ def main(argv=None) -> int:
     pr.add_argument(
         "--inject-fault", default=None, metavar="TILE[:TIMES],...",
         help="fault injection: fail these tiles on their first TIMES attempts",
+    )
+    pr.add_argument(
+        "--inject-shard-loss", type=int, default=None, metavar="PROC",
+        help="fault injection (multi-host shard mode): process PROC exits "
+             "after rendering but before writing its shard — exercises the "
+             "elastic recovery path (assemble re-renders the lost span)",
+    )
+    pr.add_argument(
+        "--shard-timeout", type=float, default=300.0,
+        help="seconds process 0 waits for other hosts' shard files before "
+             "recovering the missing spans locally",
     )
     pr.set_defaults(fn=cmd_render)
 

@@ -125,9 +125,59 @@ def write_shards(out_dir: str, shards, cfg: RenderConfig, process_id: int) -> st
     return path
 
 
-def assemble_shards(out_dir: str, cfg: RenderConfig):
+def wait_for_shards(out_dir: str, num_processes: int, timeout: float = 300.0,
+                    poll: float = 0.25) -> list[str]:
+    """Elastic replacement for the cross-process sync barrier in shard mode:
+    process 0 polls for the other hosts' shard files instead of entering a
+    collective that would HANG FOREVER if a host died (shard writes are
+    atomic os.replace, so a present file is a complete file).  Returns the
+    shard files found; on timeout returns whatever exists — the assembler
+    re-renders the rest (:func:`assemble_shards`)."""
+    import time
+
+    deadline = time.monotonic() + timeout
+    while True:
+        names = sorted(
+            n for n in (os.listdir(out_dir) if os.path.isdir(out_dir) else [])
+            if n.startswith("shard_") and n.endswith(".npz")
+        )
+        if len(names) >= num_processes or time.monotonic() >= deadline:
+            return names
+        time.sleep(poll)
+
+
+def recover_missing_cells(cells: np.ndarray, scene: Scene, cfg: RenderConfig):
+    """Re-render every missing (NaN) cell span locally — SURVEY §5.3's
+    lost-tile recovery at the multi-host level.  Keys depend only on
+    (seed, cell, sample), so the recovered spans are bit-identical to what
+    the lost host would have written on the same backend (for sample-sharded
+    meshes the psum order differs from the sequential local accumulation —
+    agreement is then ~1 ulp, same caveat as the mesh-shape tests).
+    Returns the list of recovered (start, stop) spans."""
+    from ..render import render_cells_range
+
+    missing = np.flatnonzero(np.isnan(cells[:, 0]))
+    spans: list[tuple[int, int]] = []
+    if missing.size == 0:
+        return spans
+    # contiguous spans (the wavefront contract wants contiguous ids anyway)
+    breaks = np.flatnonzero(np.diff(missing) > 1)
+    starts = np.concatenate([[0], breaks + 1])
+    stops = np.concatenate([breaks, [missing.size - 1]])
+    for a, b in zip(missing[starts], missing[stops]):
+        ids = jnp.arange(int(a), int(b) + 1, dtype=jnp.int32)
+        means = render_cells_range(scene, cfg, ids, 0, cfg.spp) / cfg.spp
+        cells[int(a) : int(b) + 1] = np.asarray(means, np.float32)
+        spans.append((int(a), int(b) + 1))
+    return spans
+
+
+def assemble_shards(out_dir: str, cfg: RenderConfig, scene: Scene | None = None):
     """Combine shard files from all hosts into the final [H,W,3] image.
-    Raises if any cell is missing (a lost host — re-render just its shard)."""
+
+    With ``scene`` given, missing cells (a lost host) are automatically
+    re-rendered locally (:func:`recover_missing_cells`) — elastic recovery
+    instead of a crash; without it, raises so the caller can re-run."""
     cells = np.full((cfg.num_cells, 3), np.nan, np.float32)
     for name in sorted(os.listdir(out_dir)):
         if not (name.startswith("shard_") and name.endswith(".npz")):
@@ -138,6 +188,13 @@ def assemble_shards(out_dir: str, cfg: RenderConfig):
             n = int(stop - start)
             cells[start:stop] = z["means"][off : off + n]
             off += n
+    if scene is not None:
+        spans = recover_missing_cells(cells, scene, cfg)
+        if spans:
+            lost = sum(b - a for a, b in spans)
+            print(f"recovered {lost} lost cells in {len(spans)} span(s): "
+                  f"{spans[:4]}{'...' if len(spans) > 4 else ''}",
+                  file=__import__('sys').stderr)
     missing = np.flatnonzero(np.isnan(cells[:, 0]))
     if missing.size:
         raise ValueError(

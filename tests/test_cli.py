@@ -91,6 +91,7 @@ def test_bench_scaling(tmp_path, capsys):
     assert "virtual" in text  # cpu-backend caveat present
 
 
+@pytest.mark.slow
 def test_invert_sharded_mesh(capsys):
     """invert --mesh runs the mesh-parallel accumulation step."""
     rc = main(

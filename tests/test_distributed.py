@@ -33,7 +33,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def _launch(nprocs: int, extra, tmp_path):
+def _launch(nprocs: int, extra, tmp_path, expect_rc=None):
     port = _free_port()
     env = dict(os.environ)
     env.update(
@@ -55,9 +55,11 @@ def _launch(nprocs: int, extra, tmp_path):
         )
         for p in range(nprocs)
     ]
-    for p in procs:
+    expect_rc = expect_rc or {}
+    for i, p in enumerate(procs):
         out, err = p.communicate(timeout=420)
-        assert p.returncode == 0, f"proc failed:\n{out}\n{err}"
+        want = expect_rc.get(i, 0)
+        assert p.returncode == want, f"proc {i} rc={p.returncode} (want {want}):\n{out}\n{err}"
 
 
 @pytest.fixture(scope="module")
@@ -83,6 +85,51 @@ def test_two_process_shard_mode_matches_single(single_png, tmp_path):
     assert (tmp_path / "image.png").read_bytes() == single_png
     names = sorted(os.listdir(shard_dir))
     assert names == ["shard_00000.npz", "shard_00001.npz"]
+
+
+@pytest.mark.slow
+def test_killed_process_recovered_bit_identical(single_png, tmp_path):
+    """Elastic recovery (SURVEY §5.3 at the multi-host level): process 1 is
+    killed after rendering but BEFORE writing its shard (--inject-shard-loss),
+    so its half of the image never reaches disk.  Process 0's file-based wait
+    times out, re-renders the missing span locally (keys depend only on
+    (seed, cell, sample) — bit-identical on the same backend), and the final
+    image must equal the single-process render byte-for-byte."""
+    shard_dir = tmp_path / "shards"
+    _launch(
+        2,
+        ["--shard-dir", str(shard_dir), "--inject-shard-loss", "1",
+         "--shard-timeout", "3"],
+        tmp_path,
+        expect_rc={1: 3},
+    )
+    assert (tmp_path / "image.png").read_bytes() == single_png
+    # only process 0's shard ever hit the disk
+    assert sorted(os.listdir(shard_dir)) == ["shard_00000.npz"]
+
+
+def test_assemble_recovers_deleted_shard(tmp_path):
+    """Unit-level recovery: assemble_shards with scene= re-renders a missing
+    span bit-identically (no process launch; covers recover_missing_cells)."""
+    from cpu_path_tracing_tpu.parallel.distributed import (
+        assemble_shards,
+        write_shards,
+    )
+    from cpu_path_tracing_tpu.render import finalize_image, render_cells_range
+
+    import jax.numpy as jnp
+
+    cfg = pt.RenderConfig(width=8, height=6, spp=2, max_depth=6, integrator="batch")
+    scene = pt.get_scene("box", 8, 6)
+    n = cfg.num_cells
+    ids = jnp.arange(n, dtype=jnp.int32)
+    means = np.asarray(render_cells_range(scene, cfg, ids, 0, cfg.spp) / cfg.spp,
+                       np.float32)
+    ref = np.asarray(finalize_image(jnp.asarray(means), cfg))
+    # write only the first half; the second "host" is lost
+    write_shards(str(tmp_path), [(0, n // 2, means[: n // 2])], cfg, 0)
+    img = np.asarray(assemble_shards(str(tmp_path), cfg, scene=scene))
+    np.testing.assert_array_equal(img, ref)
 
 
 def test_assemble_detects_missing_shard(tmp_path):

@@ -70,6 +70,7 @@ def test_parse_spec():
     assert inj.fail_tiles == {3: 2, 7: 1}
 
 
+@pytest.mark.slow
 def test_resume_renders_only_missing_tiles(scene, untiled, tmp_path):
     ckpt = str(tmp_path / "tiles.npz")
 

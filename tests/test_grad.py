@@ -38,6 +38,7 @@ def _fd(fn, params, leaf, idx, eps):
     return (fp - fm) / (2 * eps)
 
 
+@pytest.mark.slow
 def test_grad_camera_position():
     """FD parity for camera position on the open scene with a mismatched
     target (nonzero gradients; see _setup_open)."""
@@ -83,6 +84,7 @@ def _setup_open(fields=("p0", "radius", "albedo"), cfg=None):
 
 @pytest.mark.parametrize("leaf,eps", [("p0", 1e-6), ("radius", 1e-6), ("albedo", 1e-6),
                                       ("emission", 1e-6), ("background", 1e-6)])
+@pytest.mark.slow
 def test_grad_matches_fd_nonzero(leaf, eps):
     """grad vs FD on the open scene where the gradient is genuinely nonzero."""
     scene, cell_ids, target, params = _setup_open(
@@ -104,6 +106,7 @@ def test_grad_matches_fd_nonzero(leaf, eps):
         assert abs(fd - g[i]) / scale < 5e-3, (leaf, i, fd, g[i])
 
 
+@pytest.mark.slow
 def test_geometry_grad_zero_in_closed_scene():
     """Pin the documented estimator structure: in the closed box scene no
     sample path reaches the background, so the detached estimator's geometry
@@ -116,6 +119,7 @@ def test_geometry_grad_zero_in_closed_scene():
     assert float(jnp.max(jnp.abs(g["albedo"]))) > 0.0
 
 
+@pytest.mark.slow
 def test_grad_camera_scalars():
     """FD parity for the camera scalars declared optimizable: vfov, aperture,
     focus_distance, and look_at (VERDICT r1 weak #5)."""
@@ -150,6 +154,7 @@ def test_grad_camera_scalars():
         assert abs(fd - g[axis]) / scale < 5e-3, (axis, fd, g[axis])
 
 
+@pytest.mark.slow
 def test_diff_render_matches_direct_autodiff():
     """make_diff_render (fast wavefront forward + chunked remat backward)
     must produce the identical value and gradient as plain jax.grad through
@@ -181,6 +186,7 @@ def test_diff_render_matches_direct_autodiff():
                                    rtol=1e-9, atol=1e-12, err_msg=k)
 
 
+@pytest.mark.slow
 def test_remat_grad_identical():
     """jax.checkpoint on the bounce scan must not change gradients."""
     from cpu_path_tracing_tpu.render import render_cells_range
@@ -203,6 +209,7 @@ def test_remat_grad_identical():
                                     rtol=1e-13, atol=0, err_msg=k)
 
 
+@pytest.mark.slow
 def test_grad_full_depth_100():
     """FD parity at the production max_depth=100 (VERDICT r1 missing #1:
     'a full-depth FD test') — the rematerialized scan all the way down."""
@@ -224,6 +231,7 @@ def test_grad_full_depth_100():
         assert abs(fd - vec[i]) / scale < 5e-3, (leaf, i, fd, vec[i])
 
 
+@pytest.mark.slow
 def test_accum_train_step_matches_monolithic():
     """Chunked gradient accumulation (cells x samples) must reproduce the
     monolithic train step: same loss, same params after one Adam update."""

@@ -61,12 +61,14 @@ def test_spp_not_divisible_raises():
         render_image_sharded(scene, cfg, make_mesh(n_tiles=4, n_samples=2))
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_entrypoint():
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)
 
 
+@pytest.mark.slow
 def test_pallas_integrator_under_shard_map():
     """The pallas wavefront (interpret mode on CPU) composes with shard_map."""
     cfg = RenderConfig(width=16, height=8, spp=2, max_depth=8, integrator="pallas",
@@ -77,6 +79,7 @@ def test_pallas_integrator_under_shard_map():
     np.testing.assert_allclose(img_s, ref, atol=1e-6, rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_sharded_accum_train_step_matches_single_chip():
     """Production-scale mesh-parallel inverse step (VERDICT r2 #5): the
     composition of the remat/sample-chunked backward with the tiles x samples
@@ -115,6 +118,7 @@ def test_sharded_accum_train_step_matches_single_chip():
                 err_msg=f"mesh={dict(mesh.shape)} chunk=({cc},{sc_}) leaf={k}")
 
 
+@pytest.mark.slow
 def test_sharded_accum_train_step_pallas_branch_matches():
     """Exactness-gate the check_vma=False collective branch of
     make_sharded_accum_train_step (ADVICE r3, medium): that branch is taken
@@ -154,6 +158,7 @@ def test_sharded_accum_train_step_pallas_branch_matches():
             err_msg=f"leaf={k}")
 
 
+@pytest.mark.slow
 def test_sharded_train_step_matches_single_device():
     """make_sharded_train_step must reproduce the single-device train_step
     exactly (not just up to Adam's scale invariance — the r2 version left

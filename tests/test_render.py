@@ -33,6 +33,7 @@ def test_different_seed_differs():
     assert np.abs(a - b).max() > 1e-4
 
 
+@pytest.mark.slow
 def test_chunked_matches_oneshot():
     a = _render("box", jnp.float32, **BASE)
     b = _render("box", jnp.float32, ray_chunk=500, **BASE)

@@ -44,6 +44,7 @@ def test_lane_count_invariance(lanes):
     np.testing.assert_allclose(w, _batch(scene, cfg, 2), atol=1e-6, rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_ring_depth_invariance():
     cfg = pt.RenderConfig(width=8, height=6, spp=4, max_depth=32, wavefront_lanes=64)
     scene = pt.get_scene("box_mirror", 8, 6)
@@ -62,6 +63,7 @@ def test_sample_range_split():
     np.testing.assert_allclose(a + b, full, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_stats_segments_match_batch():
     from cpu_path_tracing_tpu.ops.integrator import radiance
     from cpu_path_tracing_tpu.ops import rng as rng_ops
@@ -76,6 +78,7 @@ def test_stats_segments_match_batch():
     assert int(stats_w["segments"]) == int(stats_b["segments"])
 
 
+@pytest.mark.slow
 def test_pallas_megakernel_matches_xla():
     """Fused Pallas loop body (interpret mode on CPU) vs the XLA wavefront.
 
@@ -118,14 +121,13 @@ def test_persistent_megakernel_matches_per_step():
         render_wavefront_pallas_persistent,
     )
 
-    cfg = pt.RenderConfig(width=16, height=12, spp=2, max_depth=16)
-    for name, bitwise in (("box_mirror", True), ("smallpt", True),
-                          ("simple", False)):
-        scene = pt.get_scene(name, 16, 12)
+    cfg = pt.RenderConfig(width=12, height=8, spp=2, max_depth=12)
+    for name, bitwise in (("box_mirror", True), ("simple", False)):
+        scene = pt.get_scene(name, 12, 8)
         ids = _cells(cfg)
-        ref = np.asarray(render_wavefront(scene, cfg, ids, 0, 2, lanes=8192))
+        ref = np.asarray(render_wavefront(scene, cfg, ids, 0, 2, lanes=1024))
         per = np.asarray(
-            render_wavefront_pallas(scene, cfg, ids, 0, 2, lanes=8192, rows=8,
+            render_wavefront_pallas(scene, cfg, ids, 0, 2, lanes=1024, rows=8,
                                     interpret=True))
         new, st = render_wavefront_pallas_persistent(
             scene, cfg, ids, 0, 2, rows=8, interpret=True, with_stats=True)
@@ -149,7 +151,7 @@ def test_persistent_rows_and_ring_invariance():
     ids = _cells(cfg)
     ref = np.asarray(render_wavefront_pallas_persistent(
         scene, cfg, ids, 0, 2, rows=8, interpret=True))
-    for rows, ring in ((16, 16), (8, 4), (32, 8)):
+    for rows, ring in ((16, 16), (8, 4)):
         out = np.asarray(render_wavefront_pallas_persistent(
             scene, cfg, ids, 0, 2, rows=rows, ring_depth=ring, interpret=True))
         np.testing.assert_array_equal(out, ref, err_msg=f"rows={rows} K={ring}")
@@ -199,6 +201,7 @@ def test_observability_stats():
     assert 0.0 < occ <= 1.0
 
 
+@pytest.mark.slow
 def test_deep_ring_and_config_ring():
     """Deep rings (stall-headroom for short-path scenes, config.py
     wavefront_ring) keep exact parity, on the XLA wavefront and on the
