@@ -264,6 +264,15 @@ def random_spheres_scene(width: int, height: int, dtype=jnp.float32,
     return scene_from_spheres(spheres, camera, dtype=dtype)
 
 
+@register_scene("random_spheres_512")
+def random_spheres_512_scene(width: int, height: int, dtype=jnp.float32) -> Scene:
+    """~520-sphere scaling stress scene (grid=23): 65x the reference's
+    largest sphere count, the demonstration workload for the megakernel's
+    many-sphere intersect scaling (PERF.md).  Same construction as
+    ``random_spheres``, denser grid."""
+    return random_spheres_scene(width, height, dtype=dtype, grid=23)
+
+
 # ---------------------------------------------------------------------------
 # Inverse-rendered reconstructions of the two remaining retired goldens
 # (``samples/clear_light.png``, ``samples/greenish_party.png``): no scene

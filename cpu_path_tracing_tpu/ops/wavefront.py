@@ -432,13 +432,20 @@ def render_wavefront_pallas_persistent(
         n_cells=n_cells, n_items=n_items, n_gens=n_gens, rows=rows,
         ring_depth=K, interpret=interpret,
     )
-    # out[g, c, row, lane] -> item-major [G*Bt, 3]; flat index
-    # (g*Bt + row*128 + lane) IS the global item index.
-    res = jnp.moveaxis(out.reshape(n_gens, 3, Bt), 1, 2).reshape(n_gens * Bt, 3)
-    per_sample = res[:n_items].reshape(num_samples, n_cells, 3)
-    sums = jax.lax.fori_loop(
-        1, num_samples, lambda i, acc: acc + per_sample[i], per_sample[0]
-    )
+    # out[g, c, row, lane]: flat index (g*Bt + row*128 + lane) IS the global
+    # item index.  Reduce each component SEPARATELY and stack only the final
+    # [n_cells] vectors: a [*, 3] intermediate would put 3 on the minor axis,
+    # which TPU pads to 128 lanes (a ~40x layout blowup on the full item
+    # buffer).
+    comps = []
+    oc = out.reshape(n_gens, 3, Bt)
+    for c in range(3):
+        flat = oc[:, c, :].reshape(n_gens * Bt)[:n_items]
+        per_sample = flat.reshape(num_samples, n_cells)
+        comps.append(jax.lax.fori_loop(
+            1, num_samples, lambda i, acc, ps=per_sample: acc + ps[i],
+            per_sample[0]))
+    sums = jnp.stack(comps, axis=-1)
     if with_stats:
         return sums, {"segments": nseg, "iters": iters, "lanes": Bt}
     return sums

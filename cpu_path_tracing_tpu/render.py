@@ -180,10 +180,18 @@ def tune_wavefront(scene: Scene, cfg: RenderConfig, probe_cells: int = 1 << 15) 
     from .ops.integrator import radiance
 
     # The persistent megakernel ignores the lane-pool width (its pool is the
-    # fixed cfg.pallas_rows x 128 resident tile) and its VMEM-only ring makes
-    # the K tradeoff nearly free — nothing to tune.
+    # fixed cfg.pallas_rows x 128 resident tile); only the ring depth K is
+    # worth setting.  Measured on v5e (PERF.md): long-path scenes want K=32
+    # (occupancy 0.73 -> 0.89 on disco vs K=8); many-sphere scenes have
+    # heavy path-length VARIANCE tails (dielectric + RR) and want K=64
+    # (random_spheres occupancy 0.62 -> 0.94); plain short-path scenes are
+    # fine at the default 16.
     if resolve_integrator(scene, cfg) == "pallas" and cfg.pallas_persistent:
-        return cfg
+        if cfg.wavefront_ring is not None:
+            return cfg
+        if scene.num_spheres >= 24:
+            return cfg.replace(wavefront_ring=64)
+        return cfg.replace(wavefront_ring=32 if scene.num_spheres >= 6 else 16)
 
     n = cfg.num_cells
     stride = max(1, n // probe_cells)
