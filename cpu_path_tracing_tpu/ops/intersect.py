@@ -88,7 +88,12 @@ def intersect_scene(scene: Scene, origins, directions, epsilon=1e-4, inf=1e20):
     sign_b = jnp.where(b >= 0.0, 1.0, -1.0)
     qform = -(b + sign_b * sqrtd)
     qform_safe = jnp.where(qform != 0.0, qform, 1.0)
-    root_1 = qform / a
+    # Reciprocal-multiply with the reciprocal HOISTED out of the per-sphere
+    # math: a depends only on the ray, and f32 divide costs ~8 fma slots on
+    # the v5e VPU (measured) — one divide per lane instead of one per
+    # (lane, sphere).  The megakernel hoists the identical chain (parity).
+    a_inv = 1.0 / a
+    root_1 = qform * a_inv
     root_2 = jnp.where(qform != 0.0, c / qform_safe, inf)
     t_near = jnp.minimum(root_1, root_2)
     t_far = jnp.maximum(root_1, root_2)
@@ -109,9 +114,7 @@ from typing import NamedTuple
 class SphereProps(NamedTuple):
     """Per-lane properties of the hit sphere (all [B,...])."""
 
-    p0: jax.Array  # [B,3]
-    anchor_dir: jax.Array  # [B,3]
-    radius: jax.Array  # [B]
+    center: jax.Array  # [B,3] sphere center (p0 - radius*anchor_dir)
     emission: jax.Array  # [B,3]
     albedo: jax.Array  # [B,3]
     mat_mask: jax.Array  # [B,3] one-hot f32 (diffuse, specular, dielectric)
@@ -122,36 +125,43 @@ def sphere_props(scene: Scene, hit_id) -> SphereProps:
 
     TPU rationale: XLA lowers per-lane `table[hit_id]` gathers to slow
     scatter/gather DMA (~measured 3+ ms per bounce at 512k lanes); a
-    [B,N] x [N,16] matmul over the tiny sphere table is pure vector/MXU work.
+    [B,N] x [N,12] matmul over the tiny sphere table is pure vector/MXU work.
     The material enum rides along as three one-hot f32 columns, which the
     shading blend consumes directly (no int compares).
+
+    The gathered geometry is the CENTER only: the outward normal is the
+    normalized (hit - center), so anchor/radius never need gathering —
+    10 tracked columns in the megakernel's running select instead of 16
+    (the select is ~30% of the per-sphere intersect cost).  The center is
+    derived as ``p0 - radius*anchor_dir`` in the scene dtype with the
+    identical chain on both sides; for the 1e6-radius walls its f32
+    rounding perturbs the normal DIRECTION by ~1e-7 relative — the same
+    order as the previous unit-scale ``anchor + (h-p0)/r`` chain's own
+    rounding.
     """
     dtype = scene.p0.dtype
     n = scene.num_spheres
     ad = jax.lax.stop_gradient(scene.anchor_dir)
     mats = jax.nn.one_hot(scene.material, 3, dtype=dtype)  # [N,3]
+    center = scene.p0 - scene.radius[:, None] * ad  # [N,3]
     table = jnp.concatenate(
         [
-            scene.p0,  # 0:3
-            ad,  # 3:6
-            scene.radius[:, None],  # 6
-            scene.emission,  # 7:10
-            scene.albedo,  # 10:13
-            mats,  # 13:16
+            center,  # 0:3
+            scene.emission,  # 3:6
+            scene.albedo,  # 6:9
+            mats,  # 9:12
         ],
         axis=1,
-    )  # [N,16]
+    )  # [N,12]
     onehot = (hit_id[:, None] == jnp.arange(n, dtype=hit_id.dtype)[None, :]).astype(dtype)
     # HIGHEST: the default would run on the MXU in bf16 and round the gathered
     # scene constants (see module docstring).
-    props = jnp.matmul(onehot, table, precision=Precision.HIGHEST)  # [B,16]
+    props = jnp.matmul(onehot, table, precision=Precision.HIGHEST)  # [B,12]
     return SphereProps(
-        p0=props[:, 0:3],
-        anchor_dir=props[:, 3:6],
-        radius=props[:, 6],
-        emission=props[:, 7:10],
-        albedo=props[:, 10:13],
-        mat_mask=props[:, 13:16],
+        center=props[:, 0:3],
+        emission=props[:, 3:6],
+        albedo=props[:, 6:9],
+        mat_mask=props[:, 9:12],
     )
 
 
@@ -165,21 +175,22 @@ def hit_record(scene: Scene, origins, directions, t, hit_id, props: "SphereProps
     """
     if props is None:
         props = sphere_props(scene, hit_id)
-    p0_h, ad_h, r_h = props.p0, props.anchor_dir, props.radius
+    c_h = props.center
 
     # Kernel-identical expression structure (see intersect_scene docstring):
-    # reciprocal-multiply (not divide), explicit component chains, rsqrt
-    # normalize — ops/pallas/megakernel.py hit-record block.
+    # explicit component chains, rsqrt normalize — ops/pallas/megakernel.py
+    # hit-record block.
     ox, oy, oz = origins[:, 0], origins[:, 1], origins[:, 2]
     dx, dy, dz = directions[:, 0], directions[:, 1], directions[:, 2]
     hx = ox + t * dx
     hy = oy + t * dy
     hz = oz + t * dz
-    r_inv = 1.0 / jnp.where(r_h != 0.0, r_h, 1.0)
-    # (hp - center)/r = anchor_dir + (hp - p0)/r: unit-scale arithmetic only.
-    nrx = ad_h[:, 0] + (hx - p0_h[:, 0]) * r_inv
-    nry = ad_h[:, 1] + (hy - p0_h[:, 1]) * r_inv
-    nrz = ad_h[:, 2] + (hz - p0_h[:, 2]) * r_inv
+    # Outward normal = normalized (hp - center): the 1/r scaling is
+    # absorbed by the normalization, so neither radius nor anchor needs
+    # gathering (see sphere_props on the precision budget).
+    nrx = hx - c_h[:, 0]
+    nry = hy - c_h[:, 1]
+    nrz = hz - c_h[:, 2]
     ninv = _rsqrt_safe(nrx * nrx + nry * nry + nrz * nrz)
     nox = nrx * ninv
     noy = nry * ninv

@@ -70,18 +70,29 @@ RING_NAMES = ("rgx", "rgy", "rgz")
 
 
 def pack_scene(scene: Scene):
-    """Scene -> (table [N,16] f32 for SMEM).  Columns: p0(3) anchor(3)
-    radius(1) emission(3) albedo(3) mat_onehot(3)."""
+    """Scene -> (table [N,17] f32 for SMEM).
+
+    Columns 0..6 feed the intersect loop: p0(3) anchor(3) radius(1)
+    (anchor-point stable quadratic).  Columns 7..16 are the running-select
+    payload: center(3) emission(3) albedo(3) mat_code(1) — 10 tracked
+    columns instead of the previous 16 (center-form normal + material code;
+    see ops/intersect.py sphere_props on the precision budget).  The select
+    is a masked move per column per sphere, so narrowing it is a direct
+    ~10% cut of the many-sphere intersect cost (PERF.md §6)."""
     ad = jax.lax.stop_gradient(scene.anchor_dir)
-    mats = jax.nn.one_hot(scene.material, 3, dtype=jnp.float32)
+    p0 = scene.p0.astype(jnp.float32)
+    rad = scene.radius.astype(jnp.float32)
+    adf = ad.astype(jnp.float32)
+    center = p0 - rad[:, None] * adf  # identical chain to sphere_props
     return jnp.concatenate(
         [
-            scene.p0.astype(jnp.float32),
-            ad.astype(jnp.float32),
-            scene.radius.astype(jnp.float32)[:, None],
+            p0,
+            adf,
+            rad[:, None],
+            center,
             scene.emission.astype(jnp.float32),
             scene.albedo.astype(jnp.float32),
-            mats,
+            scene.material.astype(jnp.float32)[:, None],
         ],
         axis=1,
     )
@@ -224,10 +235,18 @@ def make_step_math(cfg: RenderConfig, *, n_spheres: int, n_cells: int,
 
         # ---------------- intersect: unrolled over N spheres -----------------
         # (src/sphere.cpp:6-30 roots; src/main.cpp:30-42 nearest, lowest index)
+        # Register-resident by design: the measured alternatives all lose on
+        # v5e Mosaic — (rows,128)->(1,B) relayouts for an MXU Gram-matrix
+        # formulation cost ~13 us each, (N,B)-blocked math is VMEM-bound at
+        # ~1/35 of register-block VPU rate, and per-lane dynamic gather
+        # (take_along_axis) does not compile (PERF.md "negative results").
         a_quad = dx * dx + dy * dy + dz * dz
+        # Hoisted reciprocal: one divide per lane, not per (lane, sphere) —
+        # f32 divide is ~8 fma slots (measured).  Mirrored in ops/intersect.py.
+        a_inv = 1.0 / a_quad
         t_best = jnp.full_like(ox, _INF)
-        # selected sphere properties (16 columns)
-        sel = [jnp.zeros_like(ox) for _ in range(16)]
+        # selected sphere properties (10 columns: table 7..16)
+        sel = [jnp.zeros_like(ox) for _ in range(10)]
         for j in range(N):
             p0x, p0y, p0z = table_ref[j, 0], table_ref[j, 1], table_ref[j, 2]
             adx, ady, adz = table_ref[j, 3], table_ref[j, 4], table_ref[j, 5]
@@ -240,24 +259,32 @@ def make_step_math(cfg: RenderConfig, *, n_spheres: int, n_cells: int,
             qad = qx * adx + qy * ady + qz * adz
             c_quad = qq + 2.0 * rad * qad
             disc = b_quad * b_quad - a_quad * c_quad
-            has = disc >= 0.0
-            sq = jnp.sqrt(jnp.where(has, disc, 1.0))
+            # No disc>=0 guard: sqrt(negative) = NaN, every NaN comparison
+            # below is false, so a no-root sphere falls through to _INF —
+            # exactly the guarded result, 3 ops cheaper.  (The XLA mirror
+            # keeps its guard for gradient safety; guarded and unguarded
+            # agree bitwise on every lane because the guard only touches
+            # lanes whose root is _INF either way.)
+            sq = jnp.sqrt(disc)
             sgn = jnp.where(b_quad >= 0.0, 1.0, -1.0)
             qf = -(b_quad + sgn * sq)
-            r1 = qf / a_quad
+            r1 = qf * a_inv
             r2 = jnp.where(qf != 0.0, c_quad / jnp.where(qf != 0.0, qf, 1.0), _INF)
             tn = jnp.minimum(r1, r2)
             tf_ = jnp.maximum(r1, r2)
             root = jnp.where(tn >= eps, tn, jnp.where(tf_ >= eps, tf_, _INF))
-            root = jnp.where(has, root, _INF)
             better = root < t_best  # strict: first (lowest) index wins ties
             t_best = jnp.where(better, root, t_best)
-            for c in range(16):
-                sel[c] = jnp.where(better, table_ref[j, c], sel[c])
+            for c in range(10):
+                sel[c] = jnp.where(better, table_ref[j, 7 + c], sel[c])
         hit = t_best < _INF
 
-        (px_, py_, pz_, adx_, ady_, adz_, rad_, ehx, ehy, ehz,
-         alx, aly, alz, m_dif, m_spe, m_die) = sel
+        (cx_, cy_, cz_, ehx, ehy, ehz, alx, aly, alz, mcode) = sel
+        # Material one-hot from the single selected code (0/1/2): exact
+        # 0.0/1.0 masks, value-identical to gathering one-hot columns.
+        m_dif = jnp.where(mcode < 0.5, 1.0, 0.0)
+        m_spe = jnp.where((mcode > 0.5) & (mcode < 1.5), 1.0, 0.0)
+        m_die = jnp.where(mcode > 1.5, 1.0, 0.0)
 
         # ------- miss: scene background gradient (src/main.cpp:115-120) ------
         dinv = _rsqrt_safe(a_quad)
@@ -283,10 +310,11 @@ def make_step_math(cfg: RenderConfig, *, n_spheres: int, n_cells: int,
         hx = ox + t_safe * dx
         hy = oy + t_safe * dy
         hz = oz + t_safe * dz
-        r_inv = 1.0 / jnp.where(rad_ != 0.0, rad_, 1.0)
-        nrx = adx_ + (hx - px_) * r_inv
-        nry = ady_ + (hy - py_) * r_inv
-        nrz = adz_ + (hz - pz_) * r_inv
+        # Outward normal = normalized (h - center); the 1/r scale is
+        # absorbed by the normalization (ops/intersect.py hit_record).
+        nrx = hx - cx_
+        nry = hy - cy_
+        nrz = hz - cz_
         ninv = _rsqrt_safe(nrx * nrx + nry * nry + nrz * nrz)
         nox_ = nrx * ninv
         noy_ = nry * ninv
@@ -671,6 +699,12 @@ def persistent_render(table, cam, dyn, *, cfg: RenderConfig, n_spheres: int,
             + [pltpu.VMEM((ring_depth, 3, rows, LANE), jnp.float32),
                pltpu.SemaphoreType.DMA]
         ),
+        # Many-sphere scenes: the unrolled intersect's live ranges grow with
+        # N and overflow the default 16 MiB scoped-vmem budget near N~500
+        # (measured: 26.5 MiB at N=531, rows=32).  Raise the cap — v5e has
+        # 128 MiB of physical VMEM.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(table, cam, dyn)
     return out, nseg[0, 0], iters[0, 0]

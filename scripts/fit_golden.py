@@ -132,7 +132,16 @@ def main() -> int:
             r2 = render_cells_range(sc, cfg, ids, s0 + half, half) / half
             e1 = live * (r1 - target)
             e2 = live * (r2 - target)
-            return jnp.mean(e1 * e2)
+            # Saturation hinge: golden-saturated pixels (the light disc) are
+            # excluded from the unbiased term, which erases the gradient that
+            # should push a too-dim emitter UP (round-3 clear_light fit
+            # stalled with the light at ~1/9 of box-scene emission for
+            # exactly this reason).  One-sided penalty on the mean: zero as
+            # soon as the disc renders above saturation, so no dimming bias.
+            sat = (1.0 - live)
+            rbar = 0.5 * (r1 + r2)
+            hinge = sat * jnp.maximum(1.05 - rbar, 0.0)
+            return jnp.mean(e1 * e2) + 0.1 * jnp.mean(hinge * hinge)
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = optimizer.update(grads, opt_state, params)
