@@ -545,8 +545,10 @@ def cmd_bench_scaling(args) -> int:
         print(json.dumps(rec), flush=True)
 
     dev = jax.devices()[0]
+    on_cpu = jax.default_backend() == "cpu"
+    title = ("Mesh-scaling PLUMBING GATE" if on_cpu else "Strong scaling")
     lines = [
-        f"# Strong scaling — {args.scene} {cfg.width}x{cfg.height}@{cfg.total_spp} "
+        f"# {title} — {args.scene} {cfg.width}x{cfg.height}@{cfg.total_spp} "
         f"total spp on {dev.device_kind} ({jax.default_backend()})",
         "",
         "Fixed workload, tiles-axis mesh 1..N devices.  Rates are camera",

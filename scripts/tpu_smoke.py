@@ -48,7 +48,11 @@ import jax.numpy as jnp
 import numpy as np
 
 import cpu_path_tracing_tpu as pt
-from cpu_path_tracing_tpu.ops.wavefront import render_wavefront, render_wavefront_pallas
+from cpu_path_tracing_tpu.ops.wavefront import (
+    render_wavefront,
+    render_wavefront_pallas,
+    render_wavefront_pallas_persistent,
+)
 from cpu_path_tracing_tpu.render import render_cells_range
 
 
@@ -99,6 +103,12 @@ def run(width: int, height: int, spp: int, out_path: str, state_path: str | None
         pal = np.asarray(jax.jit(
             lambda s, i: render_wavefront_pallas(s, lo, i, 0, spp)
         )(scene, ids))
+        pers = np.asarray(jax.jit(
+            lambda s, i: render_wavefront_pallas_persistent(s, lo, i, 0, spp)
+        )(scene, ids))
+        # The persistent kernel shares make_step_math with the per-step
+        # kernel verbatim: anything but exact equality is a bug.
+        rec["lowdepth_persistent_vs_perstep_exact"] = bool(np.array_equal(pers, pal))
         d_wb = float(np.max(_scale_aware(wave, batch)))
         d_pw = _scale_aware(pal, wave)
         rec["lowdepth_wavefront_vs_batch_max"] = d_wb
@@ -112,6 +122,7 @@ def run(width: int, height: int, spp: int, out_path: str, state_path: str | None
             d_wb < 2e-5
             and rec["lowdepth_pallas_vs_wavefront_p999"] < 1e-5
             and rec["lowdepth_pallas_vs_wavefront_flipped_frac"] < 1e-3
+            and rec["lowdepth_persistent_vs_perstep_exact"]
         )
 
         # ---- tier 2: statistical parity at full depth --------------------
@@ -124,11 +135,12 @@ def run(width: int, height: int, spp: int, out_path: str, state_path: str | None
             lambda s, i: render_wavefront(s, hi.replace(seed=1234), i, 0, spp)
         )(scene, ids))
         pal_fn = jax.jit(
-            lambda s, i: render_wavefront_pallas(s, hi, i, 0, spp, with_stats=True)
+            lambda s, i: render_wavefront_pallas_persistent(
+                s, hi, i, 0, spp, with_stats=True)
         )
         t0 = time.perf_counter()
         pal_hi, stats = pal_fn(scene, ids)
-        pal_hi = np.asarray(jax.block_until_ready(pal_hi))
+        pal_hi = np.asarray(jax.device_get(pal_hi))
         compile_s = time.perf_counter() - t0
         segments = int(stats["segments"])
 
