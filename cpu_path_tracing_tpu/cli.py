@@ -319,6 +319,7 @@ BENCH_MATRIX = (
     ("depth_of_field", 800, 600, 256),
     ("disco_sphere", 1024, 768, 1024),
     ("random_spheres", 640, 480, 64),
+    ("random_spheres_512", 640, 480, 64),
 )
 
 
