@@ -89,6 +89,11 @@ def main() -> int:
     ap.add_argument("--eval-spp", type=int, default=256)
     ap.add_argument("--init-json", default=None,
                     help="start from this fitted scene JSON instead of the builder")
+    ap.add_argument("--cap-albedo", type=float, default=None,
+                    help="project albedo <= CAP after each step: prevents the "
+                         "saturation ratchet (albedo > 1 everywhere -> every "
+                         "path blows out -> clamp gradients vanish -> the fit "
+                         "strands in an all-white, grey-walled optimum)")
     ap.add_argument("--free-emission", action="store_true",
                     help="let every sphere's emission float (default: emission "
                          "is structurally masked to the builder's emitters — "
@@ -130,14 +135,19 @@ def main() -> int:
             sc = merge_params(scene, p)
             r1 = render_cells_range(sc, cfg, ids, s0, half) / half
             r2 = render_cells_range(sc, cfg, ids, s0 + half, half) / half
+            # Forward model for a HIGH-spp golden: the reference clamps the
+            # per-SUBPIXEL MEAN (src/main.cpp:195-196), and at the goldens'
+            # spp that mean is converged — so stored-unsaturated pixels
+            # satisfy stored == mu exactly and the unclamped dual-buffer
+            # product E[(r1-t)(r2-t)] = (mu-t)^2 is the right unbiased
+            # objective (a per-sample-clamp model overshoots: it must crank
+            # flux until E[clamp(single sample)] reaches clamp(mu) levels,
+            # then the real pipeline renders too bright — measured +25%).
+            # Saturated pixels (t >= 0.995) carry no information except
+            # "mu >= 1": mask them from the product and push them up with a
+            # one-sided hinge that vanishes once the disc oversaturates.
             e1 = live * (r1 - target)
             e2 = live * (r2 - target)
-            # Saturation hinge: golden-saturated pixels (the light disc) are
-            # excluded from the unbiased term, which erases the gradient that
-            # should push a too-dim emitter UP (round-3 clear_light fit
-            # stalled with the light at ~1/9 of box-scene emission for
-            # exactly this reason).  One-sided penalty on the mean: zero as
-            # soon as the disc renders above saturation, so no dimming bias.
             sat = (1.0 - live)
             rbar = 0.5 * (r1 + r2)
             hinge = sat * jnp.maximum(1.05 - rbar, 0.0)
@@ -150,6 +160,8 @@ def main() -> int:
         # emission confined to the builder's emitters unless --free-emission
         params = {k: (jnp.maximum(v, 0.0) if k in ("albedo", "emission", "radius") else v)
                   for k, v in params.items()}
+        if a.cap_albedo is not None and "albedo" in params:
+            params["albedo"] = jnp.minimum(params["albedo"], a.cap_albedo)
         if em_mask is not None and "emission" in params:
             params["emission"] = params["emission"] * em_mask
         return params, opt_state, loss
