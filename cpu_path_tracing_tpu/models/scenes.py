@@ -276,50 +276,51 @@ def random_spheres_512_scene(width: int, height: int, dtype=jnp.float32) -> Scen
 # ---------------------------------------------------------------------------
 # Inverse-rendered reconstructions of the two remaining retired goldens
 # (``samples/clear_light.png``, ``samples/greenish_party.png``): no scene
-# source survives, so the parameters below were RECOVERED BY GRADIENT
-# DESCENT against the golden images themselves (scripts/fit_golden.py:
-# dual-buffer unbiased image loss, structural emission mask, Adam; geometry
-# from the forensic candidate search in scripts/recon_search.py — closed-box
-# geometry has near-zero detached-estimator gradients, so it is searched,
-# not descended).  Note the >1 wall albedos: the reference's own scenes use
-# the same uncapped-albedo idiom (box 1.8, disco 1.92 — SURVEY fidelity #1),
-# under which a dim emitter in a high-albedo cavity lights the room.
-# Pooled MAD vs the goldens at 512x384@256spp: clear_light 22.45/255,
-# greenish_party 29.96/255 (emissive-ceiling hypothesis) (round 3; honest best-effort — the exact original
-# scenes are likely not identifiable from single LDR images).
+# source survives, so the parameters below were RECOVERED against the golden
+# images themselves (round 4: derivative-free coordinate search directly on
+# the official tonemapped-MAD metric, alternating color / light / sphere-
+# geometry waves, anchored on the surviving box_scene.hpp house style —
+# light emission ~9 with albedo 1.8, walls as +-0.4 giant spheres; see
+# docs/RECONSTRUCTION.md for the method, the forward-model analysis, and
+# the per-wave search traces).  Pooled MAD vs the goldens at 512x384@1024spp:
+# clear_light 15.6/255 (round 3: 22.47), greenish_party 21.4/255 (round 3:
+# 29.96).  Honest best-effort: the exact originals are likely not uniquely
+# identifiable from single clamped LDR images (docs/RECONSTRUCTION.md
+# quantifies the residual floor and what it would take to go lower).
 # ---------------------------------------------------------------------------
 
 _CLEAR_LIGHT_FIT = {
-    "camera": {"position": [0.0, 0.0, 2.0], "look_at": [0.0, 0.0, -0.4], "up": [0.0, 1.0, 0.0], "vfov": 0.5, "aperture": 0.0, "focus_distance": 2.4, "origin_advance": 0.0},
+    "camera": {"position": [0, 0, 2.0], "look_at": [0, 0, -0.4], "up": [0, 1, 0], "vfov": 0.5, "aperture": 0.01, "focus_distance": 2.4, "origin_advance": 0.0},
     "background": [[0.0, 0.0, 0.0], [0.0, 0.0, 0.0]],
     "spheres": [
-        {"radius": 1000000.0, "center": [-1000000.4, 0.0, -1.0], "emission": [0.0, 0.0, 0.0], "albedo": [1.806145, 0.90936, 0.91312], "material": "diffuse"},
-        {"radius": 1000000.0, "center": [1000000.4, 0.0, -1.0], "emission": [0.0, 0.0, 0.0], "albedo": [1.191878, 0.979142, 2.035023], "material": "diffuse"},
-        {"radius": 1000000.0, "center": [0.0, 0.0, -1000001.0], "emission": [0.0, 0.0, 0.0], "albedo": [1.909139, 1.83244, 1.904932], "material": "diffuse"},
-        {"radius": 1000000.0, "center": [0.0, 1000000.4, -1.0], "emission": [0.0, 0.0, 0.0], "albedo": [1.130649, 1.845692, 0.886028], "material": "diffuse"},
-        {"radius": 1000000.0, "center": [0.0, -1000000.4, -1.0], "emission": [0.0, 0.0, 0.0], "albedo": [1.730316, 1.875246, 2.053141], "material": "diffuse"},
-        {"radius": 0.2, "center": [0.0, 0.05, -1.15], "emission": [0.720982, 1.029497, 0.717656], "albedo": [0.0, 0.0, 0.0], "material": "diffuse"},
-        {"radius": 0.15, "center": [-0.18, -0.25, -0.55], "emission": [0.0, 0.0, 0.0], "albedo": [1.178525, 1.32017, 1.440975], "material": "specular"},
-        {"radius": 0.15, "center": [0.1, -0.25, -0.8], "emission": [0.0, 0.0, 0.0], "albedo": [1.005957, 0.600496, 0.998942], "material": "specular"},
-        {"radius": 0.2, "center": [0.25, -0.2, -0.35], "emission": [0.0, 0.0, 0.0], "albedo": [1.09007, 0.879637, 1.088926], "material": "dielectric"},
+        {"radius": 1000000.0, "center": [-1000000.4, 0, -1.0], "emission": [0.030604, 0.011936, 0.011018], "albedo": [0.7371, 0.287469, 0.265356], "material": "diffuse"},
+        {"radius": 1000000.0, "center": [1000000.4, 0, -1.0], "emission": [0.011842, 0.011842, 0.026315], "albedo": [0.28521, 0.28521, 0.6338], "material": "diffuse"},
+        {"radius": 1000000.0, "center": [0, 0, -1000001.0], "emission": [0.025613, 0.025613, 0.024332], "albedo": [0.61688, 0.61688, 0.586036], "material": "diffuse"},
+        {"radius": 1000000.0, "center": [0, 1000000.4, -1.0], "emission": [0.009454, 0.021009, 0.007353], "albedo": [0.2277, 0.506, 0.1771], "material": "diffuse"},
+        {"radius": 1000000.0, "center": [0, -1000000.4, -1.0], "emission": [0.033959, 0.033959, 0.03328], "albedo": [0.8179, 0.8179, 0.801542], "material": "diffuse"},
+        {"radius": 0.247536, "center": [-0.052, 0.0886, -1.16], "emission": [8.0, 8.0, 8.0], "albedo": [1.8, 1.8, 1.8], "material": "diffuse"},
+        {"radius": 0.175, "center": [-0.26, -0.266, -0.678], "emission": [0, 0, 0], "albedo": [0.95, 0.95, 0.95], "material": "specular"},
+        {"radius": 0.175, "center": [0.14, -0.2244, -0.72], "emission": [0, 0, 0], "albedo": [0.9, 0.35, 0.9], "material": "specular"},
+        {"radius": 0.2, "center": [0.21, -0.24, -0.238], "emission": [0, 0, 0], "albedo": [1.0, 1.0, 1.0], "material": "dielectric"},
     ],
 }
 
 
 _GREENISH_PARTY_FIT = {
-    "camera": {"position": [0.0, 0.0, 2.0], "look_at": [0.0, 0.0, -0.4], "up": [0.0, 1.0, 0.0], "vfov": 0.5, "aperture": 0.0, "focus_distance": 2.4, "origin_advance": 0.0},
+    "camera": {"position": [0, 0, 1.55], "look_at": [0, 0, -0.4], "up": [0, 1, 0], "vfov": 0.46, "aperture": 0.05, "focus_distance": 1.95, "origin_advance": 0.0},
     "background": [[0.0, 0.0, 0.0], [0.0, 0.0, 0.0]],
     "spheres": [
-        {"radius": 1000000.0, "center": [-1000000.4, 0.0, -1.0], "emission": [0.0, 0.0, 0.0], "albedo": [0.714197, 0.335261, 0.39833], "material": "diffuse"},
-        {"radius": 1000000.0, "center": [1000000.4, 0.0, -1.0], "emission": [0.0, 0.0, 0.0], "albedo": [0.358099, 0.343416, 0.664145], "material": "diffuse"},
-        {"radius": 1000000.0, "center": [0.0, 0.0, -1000001.0], "emission": [0.0, 0.0, 0.0], "albedo": [0.930744, 0.981271, 0.876344], "material": "diffuse"},
-        {"radius": 1000000.0, "center": [0.0, 1000000.4, -1.0], "emission": [0.591429, 1.271057, 0.388676], "albedo": [0.491548, 0.496375, 0.283621], "material": "diffuse"},
-        {"radius": 1000000.0, "center": [0.0, -1000000.4, -1.0], "emission": [0.0, 0.0, 0.0], "albedo": [0.121797, 0.208084, 0.20428], "material": "diffuse"},
-        {"radius": 6.0, "center": [0.0, 6.394, -1.0], "emission": [0.316464, 1.023931, 0.232823], "albedo": [0.858522, 0.836706, 0.858508], "material": "diffuse"},
-        {"radius": 0.18, "center": [-0.15, -0.22, -0.65], "emission": [0.0, 0.0, 0.0], "albedo": [0.886497, 0.650784, 0.889905], "material": "specular"},
-        {"radius": 0.18, "center": [0.2, -0.22, -0.4], "emission": [0.0, 0.0, 0.0], "albedo": [0.965219, 0.953432, 1.095912], "material": "dielectric"},
+        {"radius": 1000000.0, "center": [-1000000.4, 0, -1.0], "emission": [0.0, 0.0, 0.0], "albedo": [0.288, 0.19584, 0.08064], "material": "diffuse"},
+        {"radius": 1000000.0, "center": [1000000.4, 0, -1.0], "emission": [0.0, 0.0, 0.0], "albedo": [0.11836, 0.154944, 0.18292], "material": "diffuse"},
+        {"radius": 1000000.0, "center": [0, 0, -1000001.0], "emission": [0.0, 0.0, 0.0], "albedo": [0.3454, 0.628, 0.314], "material": "diffuse"},
+        {"radius": 1000000.0, "center": [0, 1000000.4, -1.0], "emission": [0.53508, 1.07016, 0.374556], "albedo": [0.7644, 1.5288, 0.53508], "material": "diffuse"},
+        {"radius": 1000000.0, "center": [0, -1000000.4, -1.0], "emission": [0.0, 0.0, 0.0], "albedo": [0.09, 0.12, 0.093], "material": "diffuse"},
+        {"radius": 0.8, "center": [0.0, 1.15, -1.0], "emission": [8.1, 9.0, 7.56], "albedo": [1.8, 1.8, 1.8], "material": "diffuse"},
+        {"radius": 0.1054, "center": [-0.18, -0.17, -0.518], "emission": [0, 0, 0], "albedo": [0.95, 0.95, 0.95], "material": "specular"},
+        {"radius": 0.15, "center": [0.2, -0.224, -0.48], "emission": [0, 0, 0], "albedo": [1.0, 1.0, 1.0], "material": "dielectric"},
     ],
 }
+
 
 
 @register_scene("clear_light")
