@@ -173,9 +173,10 @@ def make_step_math(cfg: RenderConfig, *, n_spheres: int, n_cells: int,
 
         a0, a1 = threefry2x32(jnp.uint32(s0_key), jnp.uint32(s1_key),
                               jax.lax.bitcast_convert_type(cell, jnp.uint32), smp)
+        # Jitter from the item-key words themselves; one cipher block for the
+        # lens-disk pair (rng.camera_uniforms — must stay in lockstep).
         c0, c1 = threefry2x32(a0, a1, jnp.uint32(0) * a0, jnp.uint32(0) * a0)
-        c2, c3 = threefry2x32(a0, a1, jnp.uint32(0) * a0, jnp.uint32(0) * a0 + jnp.uint32(1))
-        jx, jy, du1, du2 = _u01(c0), _u01(c1), _u01(c2), _u01(c3)
+        jx, jy, du1, du2 = _u01(a0), _u01(a1), _u01(c0), _u01(c1)
 
         # decode cell -> (x, y, sx, sy); src/main.cpp:186-190 jitter
         sub = cell % (ns * ns)
@@ -632,10 +633,16 @@ def make_persistent_kernel(cfg: RenderConfig, *, n_spheres: int, n_cells: int,
             for n in STATE_NAMES:
                 state_scr[n][...] = s[n]
 
-            # Watermark: generations every lane has fully passed.
+            # Watermark: generations every lane has fully passed.  Checked
+            # only every 2nd iteration: a generation completes every
+            # ~E[depth] iterations, so a one-iteration flush delay costs at
+            # most a slightly earlier K-stall while halving the min-reduce +
+            # flush-machinery overhead (bitwise-safe: flush timing never
+            # changes per-item results, only the schedule).
+            check = (iters % 2) == 0
             low = jnp.where(s["alive"] != 0, s["gen"] - 1, s["gen"])
             watermark = jnp.min(low)
-            do_flush = g_flush <= watermark
+            do_flush = check & (g_flush <= watermark)
 
             @pl.when(do_flush)
             def _flush():

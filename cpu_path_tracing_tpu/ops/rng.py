@@ -14,14 +14,23 @@ so any tiling / chunking / sharding / mesh shape / lane schedule produces the
 *same* numbers; the f64 oracle and the f32 TPU path consume bit-identical
 uniforms (uniforms are always materialized in f32 from the high 24 bits).
 
-The block cipher is implemented directly with public jnp ops (20-round
-Threefry-2x32, Salmon et al. 2011 — the same PRF behind jax.random) instead
-of via typed key plumbing: two blocks per bounce instead of three
-(fold_in costs a full block), and the identical integer math can later run
-inside a Pallas megakernel without breaking image parity.
+The block cipher is implemented directly with public jnp ops (Threefry-2x32,
+Salmon et al. 2011 — the PRF family behind jax.random) instead of via typed
+key plumbing: two blocks per bounce instead of three (fold_in costs a full
+block), and the identical integer math runs inside the Pallas megakernel
+without breaking image parity (it imports THIS function).
+
+Round count: 13, the Crush-resistant minimum from Salmon et al. Table 2
+(jax.random uses 20 for extra safety margin).  Measured on v5e: the cipher
+is ~20% of the megakernel's per-iteration cost at 20 rounds, and rendering
+consumes uniforms — not cryptographic margin — so the validated minimum is
+the right default (PERF.md §7).  Rounds that are not a multiple of 4 skip
+the trailing key injection, exactly like Random123's reference
+implementation, whose 13-round variant is what BigCrush validated.
 
 Draw layout per (cell, sample):
-  purpose 0            -> [jitter_x, jitter_y, disk_u1, disk_u2]  (camera)
+  item key words       -> [jitter_x, jitter_y]  (the key doubles as draws)
+  purpose 0            -> [disk_u1, disk_u2]                      (camera)
   purpose 1 + depth    -> [u_rr, u_a, u_b, u_c]                   (bounce)
       diffuse:    u_a = phi draw, u_b = sin^2(theta) draw
       dielectric: u_a = reflect/refract choice
@@ -39,12 +48,14 @@ import numpy as np
 _U32 = jnp.uint32
 _PARITY = np.uint32(0x1BD11BDA)
 _ROTATIONS = ((13, 15, 26, 6), (17, 29, 16, 24))
+# 13 = the BigCrush-passing minimum for Threefry-2x32 (module docstring).
+ROUNDS = 13
 
 
 def threefry2x32(k0, k1, c0, c1) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """20-round Threefry-2x32 block: keys (k0,k1), counter (c0,c1) -> 2 words.
-
-    All inputs broadcast; uint32 in, uint32 out.
+    """Threefry-2x32 block (ROUNDS rounds): keys (k0,k1), counter (c0,c1)
+    -> 2 words.  All inputs broadcast; uint32 in, uint32 out.  Random123
+    semantics: key injection after every 4th round only.
     """
     k0 = jnp.asarray(k0, _U32)
     k1 = jnp.asarray(k1, _U32)
@@ -54,13 +65,20 @@ def threefry2x32(k0, k1, c0, c1) -> Tuple[jnp.ndarray, jnp.ndarray]:
     x0 = jnp.asarray(c0, _U32) + k0
     x1 = jnp.asarray(c1, _U32) + k1
 
-    for i in range(5):
-        for r in _ROTATIONS[i % 2]:
+    done = 0
+    group = 0
+    while done < ROUNDS:
+        for r in _ROTATIONS[group % 2]:
+            if done == ROUNDS:
+                break
             x0 = x0 + x1
             x1 = (x1 << r) | (x1 >> (32 - r))
             x1 = x1 ^ x0
-        x0 = x0 + ks[(i + 1) % 3]
-        x1 = x1 + ks[(i + 2) % 3] + _U32(i + 1)
+            done += 1
+        if done % 4 == 0:
+            x0 = x0 + ks[(group + 1) % 3]
+            x1 = x1 + ks[(group + 2) % 3] + _U32(group + 1)
+        group += 1
     return x0, x1
 
 
@@ -90,8 +108,19 @@ def uniforms4(a0, a1, purpose) -> jnp.ndarray:
 
 
 def camera_uniforms(a0, a1) -> jnp.ndarray:
-    """[B,4]: [jitter_x, jitter_y, disk_u1, disk_u2]."""
-    return uniforms4(a0, a1, jnp.zeros_like(a0))
+    """[B,4]: [jitter_x, jitter_y, disk_u1, disk_u2].
+
+    The subpixel jitter comes from the item-key words THEMSELVES (a0, a1
+    are Threefry outputs, i.e. uniform words) and only the lens-disk pair
+    costs a cipher block — one block per regeneration instead of two
+    (measured ~2-3% of short-path scene time).  Reusing PRF output words
+    both as the bounce-block subkey and as two uniforms is sound for Monte
+    Carlo: correlating (jitter, bounce draws) would amount to
+    distinguishing threefry outputs from random given a related key."""
+    y0, y1 = threefry2x32(a0, a1, jnp.zeros_like(a0), jnp.zeros_like(a0))
+    return jnp.stack(
+        [_to_uniform(a0), _to_uniform(a1), _to_uniform(y0), _to_uniform(y1)],
+        axis=-1)
 
 
 def bounce_uniforms(a0, a1, depth) -> jnp.ndarray:

@@ -25,11 +25,20 @@ if command -v ruff >/dev/null 2>&1; then
     echo "== ruff (supplementary, when available) =="
     ruff check cpu_path_tracing_tpu tests
 fi
+# Type checking: no mypy/pyright ships in the execution image and installs
+# are off-limits there; run it when a dev machine has it (supplementary,
+# like ruff — the unconditional gate above never silently vanishes).
+if command -v mypy >/dev/null 2>&1; then
+    echo "== mypy (supplementary, when available) =="
+    mypy --ignore-missing-imports cpu_path_tracing_tpu
+fi
 
 echo "== native build =="
 make -C native >/dev/null
 
 echo "== fast tests =="
+t0=$(date +%s)
 python -m pytest tests/ -q -m "not slow" -x
+echo "fast tier took $(( $(date +%s) - t0 ))s"
 
 echo "precommit OK"
