@@ -26,10 +26,11 @@ compiles bitwise-identically under XLA and Mosaic (measured on v5e).
 Parity is enforced by interpret-mode tests (tests/test_wavefront.py;
 bitwise except sky-gradient miss lanes, whose fma grouping is
 compiler-context-dependent — see that test's docstring) and on the real
-chip by scripts/tpu_smoke.py — the round-3 on-device gate (TPU_SMOKE.md)
-measures full-depth (100-bounce) scale-aware deviation of 0 to 3e-10 on
-six of seven scenes and 2.8e-4 on smallpt, i.e. at-or-near bitwise
-agreement between this kernel and the XLA integrators on device.
+chip by scripts/tpu_smoke.py (TPU_SMOKE.md, 11/11 scenes green):
+full-depth (100-bounce) scale-aware deviation 0 to ~2e-6 across scenes
+(2.7e-4 on smallpt) — at-or-near bitwise agreement between this kernel
+and the XLA integrators on device, and EXACT equality between the
+per-step and persistent kernels (shared make_step_math).
 
 Reference semantics cited inline map to src/main.cpp:104-158 (radiance loop),
 src/camera.cpp:32-38 (thin lens), src/sphere.cpp:6-30 (roots).

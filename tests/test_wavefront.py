@@ -140,6 +140,7 @@ def test_persistent_megakernel_matches_per_step():
         assert int(st["segments"]) > 0 and int(st["iters"]) > 0
 
 
+@pytest.mark.slow
 def test_persistent_rows_and_ring_invariance():
     """Pool height and ring depth are schedule knobs, not semantics."""
     from cpu_path_tracing_tpu.ops.wavefront import (
