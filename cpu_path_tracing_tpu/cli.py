@@ -46,6 +46,9 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--rr-depth", type=int, default=4)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--integrator", choices=("auto", "wavefront", "pallas", "batch"), default="auto")
+    p.add_argument("--jitter", choices=("uniform", "tent"), default="uniform",
+                   help="subpixel filter: uniform (reference binary) or tent "
+                        "(sandbox smallpt; XLA integrators only)")
     p.add_argument("--lanes", type=int, default=None,
                    help="wavefront lane-pool width (default: auto-tuned per "
                         "scene by a pilot render — render.tune_wavefront)")
@@ -85,6 +88,7 @@ def _config(args) -> RenderConfig:
         integrator=args.integrator,
         wavefront_lanes=args.lanes if args.lanes is not None else (1 << 19),
         wavefront_ring=args.ring,
+        jitter=args.jitter,
     )
 
 
@@ -195,8 +199,11 @@ def _render_multihost(args) -> int:
 
     with Timer() as t:
         if args.shard_dir:
-            from .parallel.distributed import wait_for_shards
+            from .parallel.distributed import (
+                render_fingerprint, signal_lost_hosts, wait_all_or_lost,
+                wait_for_shards)
 
+            fp = render_fingerprint(scene, cfg)
             shards = render_shard_multihost(scene, cfg, mesh)
             if args.inject_shard_loss is not None and pid == args.inject_shard_loss:
                 # Fault injection (tests): this "host" dies after rendering
@@ -205,15 +212,39 @@ def _render_multihost(args) -> int:
                 print(f"inject-shard-loss: process {pid} exiting", file=sys.stderr)
                 sys.stderr.flush()
                 os._exit(3)
-            write_shards(args.shard_dir, shards, cfg, pid)
+            write_shards(args.shard_dir, shards, cfg, pid, fingerprint=fp)
             if pid == 0:
                 # Elastic: a file-based wait (atomic shard writes) instead of
                 # a collective barrier a dead host would hang forever.
                 names = wait_for_shards(args.shard_dir, jax.process_count(),
-                                        timeout=args.shard_timeout)
+                                        timeout=args.shard_timeout, fingerprint=fp)
                 lost_hosts = len(names) < jax.process_count()
-                img = assemble_shards(args.shard_dir, cfg, scene=scene)
+                if lost_hosts:
+                    # Broadcast before the (possibly slow) recovery render so
+                    # the other survivors can clean-exit immediately.
+                    signal_lost_hosts(args.shard_dir)
+                img = assemble_shards(args.shard_dir, cfg, scene=scene,
+                                      fingerprint=fp)
             else:
+                # Survivors must learn whether a host died: the
+                # jax.distributed atexit shutdown barrier aborts EVERY
+                # remaining process once the coordinator marks the dead task
+                # ERROR, so on 'lost' they take the same clean-exit path as
+                # process 0 (ADVICE r4).  Margin past --shard-timeout covers
+                # process 0's own detection latency.
+                outcome = wait_all_or_lost(
+                    args.shard_dir, jax.process_count(),
+                    timeout=args.shard_timeout + 30.0, fingerprint=fp)
+                if outcome == "lost":
+                    print(f"process {pid}: host loss signalled; shard written, "
+                          f"exiting cleanly", file=sys.stderr)
+                    sys.stderr.flush()
+                    sys.stdout.flush()
+                    os._exit(0)
+                if outcome == "timeout":
+                    print(f"process {pid}: no completion or loss signal within "
+                          f"timeout (process 0 may have died)", file=sys.stderr)
+                    return 1
                 img = None
         else:
             img = jax.block_until_ready(render_image_multihost(scene, cfg, mesh))
@@ -284,10 +315,13 @@ def cmd_invert(args) -> int:
         step_fn = make_sharded_accum_train_step(
             make_mesh(n_tiles, n_samples), scene, cfg, optimizer,
             cell_chunk=args.cell_chunk, sample_chunk=args.sample_chunk,
+            compact=not args.no_compact_backward,
         )
     else:
         step_fn = make_accum_train_step(
-            scene, cfg, optimizer, cell_chunk=args.cell_chunk, sample_chunk=args.sample_chunk
+            scene, cfg, optimizer, cell_chunk=args.cell_chunk,
+            sample_chunk=args.sample_chunk,
+            compact=not args.no_compact_backward,
         )
     save_every = args.save_every or max(1, args.steps // 10)
     t0 = time.perf_counter()
@@ -303,8 +337,21 @@ def cmd_invert(args) -> int:
                 lambda p, tp: float(jnp.abs(p - tp).mean()), params, true_params
             )
             sps = (step + 1 - state.step) / (time.perf_counter() - t0)
-            print(json.dumps({"step": step, "loss": float(loss),
-                              "steps_per_s": round(sps, 4), "mean_abs_err": errs}))
+            rec = {"step": step, "loss": float(loss),
+                   "steps_per_s": round(sps, 4), "mean_abs_err": errs}
+            # Compacted-backward monitor: parameter drift lengthens paths;
+            # report (don't hide) any lanes the capacity schedule truncates
+            # at the CURRENT params (grad.backward_drop_count).
+            if hasattr(step_fn, "drop_check"):
+                d = step_fn.drop_check(params)
+                if d:
+                    rec["backward_dropped_lanes"] = d
+                    print(f"WARNING: compacted backward truncated {d} live "
+                          f"lanes at step {step}; gradients carry a "
+                          f"depth-truncation bias on those lanes — re-run "
+                          f"tuning or pass --no-compact-backward",
+                          file=sys.stderr)
+            print(json.dumps(rec))
     return 0
 
 
@@ -324,11 +371,10 @@ BENCH_MATRIX = (
 
 
 def _sample_chunk(spp: int, num_cells: int, items_cap: int = 64 << 20) -> int:
-    """Largest divisor of spp keeping num_cells*chunk items per launch under
-    the cap (the wavefront's item-output buffer is 12 bytes/item — one launch
-    of disco_sphere@256spp would need ~10 GB of HBM without chunking)."""
-    cap = max(1, items_cap // num_cells)
-    return max(c for c in range(1, min(spp, cap) + 1) if spp % c == 0)
+    """Launch-size cap shared with the plain render path (render.py)."""
+    from .render import sample_chunk_for
+
+    return sample_chunk_for(spp, num_cells, items_cap)
 
 
 def _bench_one(scene_name, width, height, total_spp, *, integ, lanes, repeats,
@@ -390,7 +436,10 @@ def _bench_one(scene_name, width, height, total_spp, *, integ, lanes, repeats,
     # (bench.py methodology).  On CPU one pass is plenty.
     if jax.default_backend() == "tpu":
         t1, t3 = t_chain(1), t_chain(3)
-        best = (t3 - t1) / 2
+        # Clamped against timing noise (ADVICE r4): the artifact subtraction
+        # must never produce a rate above the n-launch chain's own floor
+        # (~30 ms bounds the per-sync tunnel artifact, bench.py).
+        best = max((t3 - t1) / 2, (t3 - 0.030) / 3, 1e-9)
     else:
         best = t_chain(1)
     hist = None
@@ -679,6 +728,9 @@ def main(argv=None) -> int:
                     help="cells per gradient-accumulation chunk")
     pi.add_argument("--sample-chunk", type=int, default=1,
                     help="samples recomputed per backward slice (memory knob)")
+    pi.add_argument("--no-compact-backward", action="store_true",
+                    help="disable live-lane compaction in the backward scan "
+                         "(grad.tune_backward_schedule)")
     pi.add_argument("--checkpoint", default=None,
                     help="optimizer-state checkpoint path (.npz); resumes if present")
     pi.add_argument("--save-every", type=int, default=0,

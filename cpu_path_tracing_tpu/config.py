@@ -72,6 +72,12 @@ class RenderConfig:
     # Progressive checkpointing: flush accumulators every N sample batches
     # (0 = disabled).  See utils/checkpoint.py.
     checkpoint_every: int = 0
+    # Subpixel jitter filter: 'uniform' (the reference binary's
+    # src/main.cpp:186-190) or 'tent' (the vendored sandbox smallpt's
+    # tent filter, sandbox/main.cpp:253-256 — used by the REFMATCH.md
+    # exact-estimator race).  'tent' is implemented on the XLA integrators
+    # only; integrator='auto' resolves away from the pallas kernel for it.
+    jitter: str = "uniform"
     # Pallas integrator mode: True = persistent megakernel (the whole
     # wavefront loop inside ONE pallas_call, lane pool resident in VMEM —
     # ~1.5x the per-step path on v5e and the production default; see
@@ -82,6 +88,13 @@ class RenderConfig:
     # lanes).  Small pools maximize generation count and minimize the drain
     # tail; 32 rows (4096 lanes) measured best on v5e across scenes.
     pallas_rows: int = 32
+    # Live-lane compaction schedule for the reverse-differentiable scan
+    # (loop='scan' + integrator='batch' only): tuple of (n_steps,
+    # capacity_fraction) stages covering max_depth, or None for the plain
+    # fixed-width scan.  Built by grad.tune_backward_schedule from a pilot
+    # live-curve measurement; cuts the backward pass's dead-lane work ~5x on
+    # RR-dominated scenes (ops/integrator.radiance_compact, PERF.md §8).
+    compact_schedule: Optional[tuple] = None
 
     @property
     def total_spp(self) -> int:

@@ -70,7 +70,123 @@ def train_step(params, opt_state, scene: Scene, cfg: RenderConfig, optimizer,
     return params, opt_state, loss
 
 
-def make_diff_render(scene: Scene, cfg: RenderConfig, sample_chunk: Optional[int] = None):
+def tune_backward_schedule(scene: Scene, cfg: RenderConfig, *, group: int = 4,
+                           margin: float = 1.5, min_frac: float = 1.0 / 64,
+                           probe_cells: int = 1 << 14):
+    """Build a live-lane compaction schedule for the backward scan from a
+    pilot survival-curve measurement (the adaptive-depth backward, VERDICT
+    r4 #1; ops/integrator.radiance_compact).
+
+    One cheap 1-sample scan over a strided ~``probe_cells`` cell subset
+    yields the live-lane count per bounce depth; stage capacities are
+    ``margin`` x the live fraction at each stage start (floored at
+    ``min_frac`` against probe noise and parameter drift during
+    optimization).  A new stage opens only when the capacity would shrink to
+    <=``shrink`` of the previous one: each boundary costs two XLA scatters
+    (~ms-scale on TPU, ops/integrator.radiance_compact), so only >=3x drops
+    pay for themselves — box tunes to ~3 boundaries capturing ~80% of the
+    dead-lane savings.  Scenes whose paths do not die (specular boxes:
+    survival ~1 per bounce) tune to a single full-width stage and return
+    None — the plain scan is already optimal there.
+    """
+    from .ops import rng as rng_ops
+    from .ops.integrator import radiance
+    from .render import camera_rays
+
+    n = cfg.num_cells
+    stride = max(1, n // probe_cells)
+    ids = jnp.arange(0, n, stride, dtype=jnp.int32)
+
+    @jax.jit
+    def pilot(sc, i):
+        keys, o, d = camera_rays(sc, cfg, i, jnp.uint32(0),
+                                 rng_ops.master_key(cfg.seed), sc.p0.dtype)
+        _, st = radiance(sc, o, d, keys, max_depth=cfg.max_depth,
+                         rr_depth=cfg.rr_depth, epsilon=cfg.epsilon,
+                         inf=cfg.inf, loop="scan", with_stats=True)
+        return st["live_per_depth"]
+
+    curve = np.asarray(jax.device_get(pilot(scene, ids)), np.float64) / ids.shape[0]
+    shrink = 1.0 / 3.0
+    stages: list[list] = []  # [n_steps, capacity_fraction]
+    for d0 in range(0, cfg.max_depth, group):
+        g = min(group, cfg.max_depth - d0)
+        frac = min(1.0, max(margin * float(curve[d0]), min_frac))
+        if stages and frac > shrink * stages[-1][1]:
+            stages[-1][0] += g  # shrink too small to pay a compaction for
+        else:
+            stages.append([g, frac])
+    if len(stages) <= 1:
+        return None
+    return tuple((int(s), float(f)) for s, f in stages)
+
+
+def backward_drop_count(scene: Scene, cfg: RenderConfig, num_cells: int,
+                        params=None, sample_idx: int = 0) -> int:
+    """Truncated-lane count of the compacted backward scan at the production
+    chunk shape — the monitor that keeps the capacity schedule from being a
+    *silent* cap: step builders run it once at build, cmd_invert re-runs it
+    periodically as the optimized parameters drift the survival curve."""
+    from .ops import rng as rng_ops
+    from .ops.integrator import radiance_compact
+    from .render import camera_rays
+
+    sc = merge_params(scene, params) if params else scene
+
+    @jax.jit
+    def probe(sc, i):
+        keys, o, d = camera_rays(sc, cfg, i, jnp.uint32(sample_idx),
+                                 rng_ops.master_key(cfg.seed), sc.p0.dtype)
+        _, dropped = radiance_compact(
+            sc, o, d, keys, max_depth=cfg.max_depth, rr_depth=cfg.rr_depth,
+            epsilon=cfg.epsilon, inf=cfg.inf, schedule=cfg.compact_schedule,
+            remat=False)
+        return dropped
+
+    ids = jnp.arange(min(num_cells, cfg.num_cells), dtype=jnp.int32)
+    return int(jax.device_get(probe(sc, ids)))
+
+
+def _contracted_render_sum(sc: Scene, cfg: RenderConfig, cell_ids, sample_start,
+                           num_samples: int, ct) -> jax.Array:
+    """Scalar ``sum(render_cells_range(...) * ct)`` computed through the
+    compacted integrator's gather-based retirement (no scatters) — the
+    backward-pass primal of ``make_diff_render_span`` (see ``bwd``)."""
+    from .ops import rng as rng_ops
+    from .ops.integrator import radiance_compact
+    from .render import camera_rays
+
+    dtype = sc.p0.dtype
+    root_key = rng_ops.master_key(cfg.seed)
+    ctd = ct.astype(dtype)
+
+    def one(i):
+        keys, o, d = camera_rays(sc, cfg, cell_ids, sample_start + i, root_key, dtype)
+        s, _ = radiance_compact(
+            sc, o, d, keys, max_depth=cfg.max_depth, rr_depth=cfg.rr_depth,
+            epsilon=cfg.epsilon, inf=cfg.inf, schedule=cfg.compact_schedule,
+            remat=cfg.remat, ct=ctd)
+        return s
+
+    return jax.lax.fori_loop(0, num_samples, lambda i, a: a + one(i),
+                             jnp.zeros((), dtype))
+
+
+def _compact_bwd_cfg(scene: Scene, cfg: RenderConfig, compact: bool) -> RenderConfig:
+    """The backward-pass config: rematerialized scan, plus a pilot-tuned
+    live-lane compaction schedule when the scene's survival curve decays
+    (None = the caller's explicit schedule wins; shallow scans aren't worth
+    the pilot)."""
+    bwd = cfg.replace(loop="scan", integrator="batch", remat=True)
+    if compact and bwd.compact_schedule is None and cfg.max_depth >= 16:
+        sched = tune_backward_schedule(scene, bwd)
+        if sched is not None:
+            bwd = bwd.replace(compact_schedule=sched)
+    return bwd
+
+
+def make_diff_render(scene: Scene, cfg: RenderConfig, sample_chunk: Optional[int] = None,
+                     compact: bool = True):
     """Differentiable per-cell MEAN radiance with decoupled forward/backward.
 
     The production inverse-rendering estimator (BASELINE.json north star:
@@ -99,16 +215,18 @@ def make_diff_render(scene: Scene, cfg: RenderConfig, sample_chunk: Optional[int
     contiguous span (wavefront contract, render.py).
     """
     S = cfg.spp
-    render_sum = make_diff_render_span(scene, cfg, S, sample_chunk)
+    render_sum = make_diff_render_span(scene, cfg, S, sample_chunk, compact=compact)
 
     def render_mean(params, cell_ids):
         return render_sum(params, cell_ids, 0) / S
 
+    render_mean.bwd_cfg = render_sum.bwd_cfg
     return render_mean
 
 
 def make_diff_render_span(scene: Scene, cfg: RenderConfig, spp_span: int,
-                          sample_chunk: Optional[int] = None):
+                          sample_chunk: Optional[int] = None,
+                          compact: bool = True):
     """Differentiable per-cell radiance SUM over the ``spp_span`` samples
     starting at a (traced) ``sample_start`` — the span-parameterized core of
     ``make_diff_render``, reusable per sample-axis shard (each mesh shard
@@ -122,7 +240,7 @@ def make_diff_render_span(scene: Scene, cfg: RenderConfig, spp_span: int,
     if spp_span % chunk:
         raise ValueError(f"sample_chunk={chunk} must divide span={spp_span}")
     fwd_cfg = cfg.replace(loop="while")
-    bwd_cfg = cfg.replace(loop="scan", integrator="batch", remat=True)
+    bwd_cfg = _compact_bwd_cfg(scene, cfg, compact)
 
     @jax.custom_vjp
     def render_sum(params, cell_ids, sample_start):
@@ -136,6 +254,18 @@ def make_diff_render_span(scene: Scene, cfg: RenderConfig, spp_span: int,
         params, cell_ids, sample_start = res
 
         def chunk_grad(s0):
+            if bwd_cfg.compact_schedule is not None:
+                # Contracted form: grad of sum(render * ct) — mathematically
+                # the identical VJP (linearity), but the compacted integrator
+                # can then retire lanes by GATHERING ct rows instead of
+                # scatter-adding an output image (ops/integrator docstring;
+                # XLA scatters cost ~ms each at this size on TPU).
+                def floss(p):
+                    return _contracted_render_sum(
+                        merge_params(scene, p), bwd_cfg, cell_ids, s0, chunk, ct)
+
+                return jax.grad(floss)(params)
+
             def f(p):
                 sc = merge_params(scene, p)
                 return render_cells_range(sc, bwd_cfg, cell_ids, s0, chunk)
@@ -159,12 +289,14 @@ def make_diff_render_span(scene: Scene, cfg: RenderConfig, spp_span: int,
         )
 
     render_sum.defvjp(fwd, bwd)
+    render_sum.bwd_cfg = bwd_cfg  # for drop-check monitoring (step builders)
     return render_sum
 
 
 def make_accum_train_step(scene: Scene, cfg: RenderConfig, optimizer, *,
                           cell_chunk: Optional[int] = None,
-                          sample_chunk: Optional[int] = None):
+                          sample_chunk: Optional[int] = None,
+                          compact: bool = True):
     """Single-chip inverse rendering at production scale (BASELINE config:
     box_scene 400x400@64spp, max_depth 100).
 
@@ -179,7 +311,21 @@ def make_accum_train_step(scene: Scene, cfg: RenderConfig, optimizer, *,
     """
     n = cfg.num_cells
     cc = min(cell_chunk or n, n)
-    render_mean = make_diff_render(scene, cfg, sample_chunk)
+    render_mean = make_diff_render(scene, cfg, sample_chunk, compact=compact)
+    bwd_cfg = render_mean.bwd_cfg
+    if bwd_cfg.compact_schedule is not None:
+        # Validate the pilot-tuned compaction capacities at the REAL chunk
+        # shape before trusting them (the pilot ran on a strided subset); if
+        # any live lane would be truncated, fall back to the exact plain
+        # scan rather than bias gradients.
+        if backward_drop_count(scene, bwd_cfg, cc) > 0:
+            import sys
+
+            print("make_accum_train_step: compaction schedule dropped live "
+                  "lanes at the production chunk shape; disabling compaction",
+                  file=sys.stderr)
+            render_mean = make_diff_render(scene, cfg, sample_chunk, compact=False)
+            bwd_cfg = render_mean.bwd_cfg
 
     @jax.jit
     def chunk_loss_grad(params, cell_ids, target):
@@ -207,12 +353,18 @@ def make_accum_train_step(scene: Scene, cfg: RenderConfig, optimizer, *,
             grads = g if grads is None else jax.tree.map(jnp.add, grads, g)
         return finalize(params, opt_state, sq_sum, grads)
 
+    if bwd_cfg.compact_schedule is not None:
+        # Periodic monitor for cmd_invert: parameter drift lengthens paths;
+        # a nonzero count means the schedule needs re-tuning.
+        step.drop_check = lambda params=None: backward_drop_count(
+            scene, bwd_cfg, cc, params=params)
     return step
 
 
 def make_sharded_accum_train_step(mesh, scene: Scene, cfg: RenderConfig, optimizer, *,
                                   cell_chunk: Optional[int] = None,
-                                  sample_chunk: Optional[int] = None):
+                                  sample_chunk: Optional[int] = None,
+                                  compact: bool = True):
     """Mesh-parallel inverse rendering at production scale (VERDICT r2 #5):
     the composition of ``make_accum_train_step``'s memory machinery (host
     loop over cell chunks; sample-chunked rematerialized backward) with the
@@ -240,7 +392,17 @@ def make_sharded_accum_train_step(mesh, scene: Scene, cfg: RenderConfig, optimiz
     # Each cell chunk is split evenly across the tile axis.
     cc = min(cell_chunk or n, n)
     cc = -(-cc // n_tiles) * n_tiles
-    render_sum = make_diff_render_span(scene, cfg, spp_local, sample_chunk)
+    render_sum = make_diff_render_span(scene, cfg, spp_local, sample_chunk,
+                                       compact=compact)
+    if render_sum.bwd_cfg.compact_schedule is not None and backward_drop_count(
+            scene, render_sum.bwd_cfg, cc // n_tiles) > 0:
+        import sys
+
+        print("make_sharded_accum_train_step: compaction schedule dropped "
+              "live lanes at the per-shard chunk shape; disabling compaction",
+              file=sys.stderr)
+        render_sum = make_diff_render_span(scene, cfg, spp_local, sample_chunk,
+                                           compact=False)
 
     def shard_fn(params, cell_ids, target, mask):
         cell_ids = jax.lax.pcast(cell_ids, SAMPLE_AXIS, to="varying")

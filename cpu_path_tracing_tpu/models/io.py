@@ -71,6 +71,7 @@ def scene_to_dict(scene: Scene) -> dict:
             "origin_advance": float(g(cam.origin_advance)),
         },
         "background": g(scene.background).tolist(),
+        "ior": float(scene.ior),
         "spheres": spheres,
     }
 
@@ -104,7 +105,8 @@ def scene_from_dict(d: dict, width: int, height: int, dtype=jnp.float32) -> Scen
     if all("anchor_dir" in s for s in d["spheres"]) and d["spheres"]:
         anchor_dirs = [s["anchor_dir"] for s in d["spheres"]]
     return scene_from_spheres(spheres, camera, dtype=dtype, background=background,
-                              anchor_dirs=anchor_dirs)
+                              anchor_dirs=anchor_dirs,
+                              ior=float(d.get("ior", 2.0)))
 
 
 def save_scene(path: str, scene: Scene) -> None:

@@ -53,7 +53,7 @@ DIELECTRIC = 2
     jax.tree_util.register_dataclass,
     data_fields=["p0", "radius", "anchor_dir", "emission", "albedo", "material", "camera",
                  "background"],
-    meta_fields=[],
+    meta_fields=["ior"],
 )
 @dataclasses.dataclass
 class Scene:
@@ -75,6 +75,13 @@ class Scene:
     # gradient (src/main.cpp:115-120); (0,0,0) rows give the sandbox smallpt's
     # black background (sandbox/main.cpp:154-156).  Differentiable.
     background: jax.Array = None  # [2,3]
+    # Dielectric refraction index — a STATIC (meta) field: it reaches every
+    # integrator as a trace-time constant, so the default 2.0 (the
+    # ``src/main.cpp:71`` quirk) compiles to the identical program as before
+    # the field existed, preserving the XLA<->Mosaic bitwise-parity pins.
+    # The vendored sandbox smallpt uses 1.5 (``sandbox/main.cpp:204``) — see
+    # the ``smallpt_exact`` scene / REFMATCH.md.
+    ior: float = 2.0
 
     @property
     def num_spheres(self) -> int:
@@ -101,6 +108,7 @@ class Scene:
             material=jnp.asarray(self.material, jnp.int32),
             camera=self.camera.astype(dtype),
             background=f(self.background),
+            ior=self.ior,
         )
 
 
@@ -116,6 +124,7 @@ def scene_from_spheres(
     dtype=jnp.float32,
     background=SKY_GRADIENT,
     anchor_dirs=None,
+    ior: float = 2.0,
 ) -> Scene:
     """Build a Scene from (radius, center, emission, albedo, material) tuples.
 
@@ -165,6 +174,7 @@ def scene_from_spheres(
         material=jnp.asarray(materials, jnp.int32),
         camera=camera,
         background=jnp.asarray(np.asarray(background, np.float64), dtype),
+        ior=float(ior),
     )
 
 

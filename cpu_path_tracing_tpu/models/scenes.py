@@ -119,7 +119,7 @@ register_scene("disco_sphere")(box_mirror_scene)
 
 
 @register_scene("smallpt")
-def smallpt_scene(width: int, height: int, dtype=jnp.float32) -> Scene:
+def smallpt_scene(width: int, height: int, dtype=jnp.float32, ior: float = 2.0) -> Scene:
     """The vendored original smallpt Cornell box (``sandbox/main.cpp:94-123``).
 
     Camera: the sandbox uses an ad-hoc basis (``sandbox/main.cpp:235-237``,
@@ -162,11 +162,22 @@ def smallpt_scene(width: int, height: int, dtype=jnp.float32) -> Scene:
         dtype=dtype,
     )
     # Black background on miss, matching the sandbox (sandbox/main.cpp:154-156)
-    # rather than src/'s sky gradient.
+    # rather than src/'s sky gradient.  ior stays at the framework default 2.0
+    # (the src/main.cpp:71 quirk) — `smallpt_exact` below carries the
+    # sandbox's true 1.5.
     return scene_from_spheres(
         spheres, camera, anchor_toward=(50.0, 40.8, 81.6), dtype=dtype,
-        background=BLACK_BACKGROUND,
+        background=BLACK_BACKGROUND, ior=ior,
     )
+
+
+@register_scene("smallpt_exact")
+def smallpt_exact_scene(width: int, height: int, dtype=jnp.float32) -> Scene:
+    """``smallpt`` with the sandbox binary's actual refraction index 1.5
+    (``sandbox/main.cpp:204``) instead of the src/ tree's 2.0 quirk — the
+    scene half of the REFMATCH.md exact-estimator race (pair it with
+    ``RenderConfig(jitter='tent')`` for the sandbox's tent filter)."""
+    return smallpt_scene(width, height, dtype=dtype, ior=1.5)
 
 
 def _simple_black(width, height, aperture, dtype):

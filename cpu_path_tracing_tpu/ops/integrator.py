@@ -43,6 +43,7 @@ BASELINE.json parity target), since FD sees the same piecewise structure.
 
 from __future__ import annotations
 
+import math
 from typing import NamedTuple
 
 import jax
@@ -131,7 +132,8 @@ def bounce_step(scene: Scene, state: RayState, uniforms, depth, *, rr_depth, eps
     thr_new = thr * al_h * colf[:, None]  # src/main.cpp:139
 
     # ---- scatter (src/main.cpp:141-154) ----
-    d_new = scatter(props.mat_mask, d, n_out, normal, front, u_a, u_b)
+    d_new = scatter(props.mat_mask, d, n_out, normal, front, u_a, u_b,
+                    ior=scene.ior)
 
     cont = alive & hit & ~killed
     cm = cont[:, None]
@@ -143,6 +145,140 @@ def bounce_step(scene: Scene, state: RayState, uniforms, depth, *, rr_depth, eps
         alive=cont,
         result=result,
     )
+
+
+def radiance_compact(scene: Scene, origins, directions, keys, *, max_depth=100,
+                     rr_depth=4, epsilon=1e-4, inf=1e20, schedule=None, remat=True,
+                     ct=None):
+    """Reverse-differentiable radiance with LIVE-LANE COMPACTION — the
+    adaptive-depth backward of VERDICT r4 #1.
+
+    The fixed-trip ``loop='scan'`` estimator runs every lane for all
+    ``max_depth`` bounces even though the live-lane count collapses
+    geometrically under Russian roulette (box @ 131072 lanes: 64% live at
+    depth 8, 6% at depth 24, 0.2% at depth 48 — measured round-5 probe).
+    Here the depth range is split into *stages* with a static capacity
+    ``schedule``: at each stage boundary, finished lanes retire their
+    radiance and the surviving lanes are stream-compacted (cumsum positions
+    + scatter, O(B) — no sort) into a smaller buffer for the remaining
+    bounces.  All shapes stay static, so the whole thing jits and
+    reverse-differentiates; per-lane math is untouched, so the primal equals
+    the plain scan bitwise (up to +0/-0) and gradients match up to
+    lane-summation order.
+
+    TPU cost shaping (measured round 5, PERF.md §8): XLA scatters/gathers at
+    this size cost ~1-3 ms EACH, so (a) the whole carry is packed into one
+    float and one int matrix — TWO scatters per boundary regardless of field
+    count; (b) in the gradient path (``ct`` given) retirement is contracted
+    against the cotangent via a GATHER of ``ct`` rows (transpose-free: ct is
+    constant) instead of scatter-adding an output image; (c) schedules worth
+    using have <=3 boundaries (grad.tune_backward_schedule) — the survival
+    tail is cheap once the first big drops are taken.
+
+    Args:
+      schedule: tuple of ``(n_steps, capacity_fraction)`` covering exactly
+        ``max_depth`` steps; capacities are fractions of the input batch,
+        nonincreasing.  Build with ``grad.tune_backward_schedule`` (pilot
+        live-curve measurement + safety margin).  Capacities are rounded up
+        to a multiple of 256 lanes.
+      remat: wrap each stage in jax.checkpoint (stage-granular
+        rematerialization — stores only stage-boundary states).
+      ct: optional [B,3] cotangent weights.  When given, returns the SCALAR
+        ``sum(out * ct)`` instead of ``out`` — the contraction the backward
+        pass needs, computed without any scatter (see above).
+
+    Returns:
+      (out [B,3] or scalar, dropped int32) — ``dropped`` counts live lanes
+      that exceeded a stage capacity and were truncated (depth-capped)
+      there.  A correctly tuned schedule keeps it at 0; callers monitor it
+      (``grad`` attaches a drop-check to production step functions) so the
+      capacity is never a *silent* cap.
+    """
+    if schedule is None:
+        schedule = ((max_depth, 1.0),)
+    if sum(n for n, _ in schedule) != max_depth:
+        raise ValueError(f"schedule {schedule} does not cover max_depth={max_depth}")
+    B = origins.shape[0]
+    dt = origins.dtype
+    kw = dict(rr_depth=rr_depth, epsilon=epsilon, inf=inf)
+    st = init_state(origins, directions)
+    a0, a1 = keys
+    orig = jnp.arange(B, dtype=jnp.int32)
+    out = None if ct is not None else jnp.zeros((B, 3), dt)
+    acc = jnp.zeros((), dt)  # contracted accumulator (ct mode)
+    dropped = jnp.int32(0)
+
+    def run_stage(st, a0, a1, d0, n_steps):
+        def body(c, d):
+            u = rng_ops.bounce_uniforms(a0, a1, d).astype(dt)
+            return bounce_step(scene, c, u, d, **kw), None
+
+        st, _ = jax.lax.scan(body, st, jnp.arange(d0, d0 + n_steps, dtype=jnp.int32))
+        return st
+
+    stage_fn = jax.checkpoint(run_stage, static_argnums=(3, 4)) if remat else run_stage
+
+    def retire(st, orig, final: bool):
+        """Contribution of lanes finishing now: dead lanes' result, plus (at
+        depth exhaustion) live lanes' accumulated emission."""
+        if final:
+            vals = jnp.where(st.alive[:, None], st.emission, st.result)
+        else:
+            vals = jnp.where(st.alive[:, None], 0.0, st.result)
+        if ct is not None:
+            return jnp.sum(vals * ct[orig])
+        return out.at[orig].add(vals)
+
+    width = B
+    d0 = 0
+    for n_steps, frac in schedule:
+        cap = min(width, -(-int(math.ceil(frac * B)) // 256) * 256)
+        if cap < width:
+            alive = st.alive
+            live = jnp.cumsum(alive.astype(jnp.int32))
+            dropped = dropped + jnp.maximum(live[-1] - cap, 0)
+            # Retire finished lanes' radiance (alive lanes hold result==0
+            # invariantly — bounce_step only writes result at death).
+            if ct is not None:
+                acc = acc + retire(st, orig, final=False)
+            else:
+                out = retire(st, orig, final=False)
+            pos = jnp.where(alive, live - 1, cap)
+
+            # ONE packed scatter for the float carry (+ occupancy indicator
+            # column) and one for the int carry: boundary cost is two
+            # scatters, not one per field.
+            fpack = jnp.concatenate(
+                [st.origin, st.direction, st.throughput, st.emission,
+                 alive.astype(dt)[:, None], jnp.ones((width, 1), dt)], axis=1)
+            ipack = jnp.stack([a0.astype(jnp.int32), a1.astype(jnp.int32), orig],
+                              axis=1)
+            fbuf = jnp.zeros((cap, fpack.shape[1]), dt).at[pos].set(fpack, mode="drop")
+            ibuf = jnp.zeros((cap, 3), jnp.int32).at[pos].set(ipack, mode="drop")
+            # Padding slots (beyond the live count, occ column 0) carry a
+            # benign unit direction so masked-out math cannot generate NaNs
+            # that would poison where-gradients.
+            occ = fbuf[:, 13] > 0
+            dirc = jnp.where(occ[:, None], fbuf[:, 3:6],
+                             jnp.asarray([0.0, 0.0, 1.0], dt))
+            st = RayState(
+                origin=fbuf[:, 0:3],
+                direction=dirc,
+                throughput=fbuf[:, 6:9],
+                emission=fbuf[:, 9:12],
+                alive=fbuf[:, 12] > 0,
+                result=jnp.zeros((cap, 3), dt),
+            )
+            a0 = ibuf[:, 0].astype(jnp.uint32)
+            a1 = ibuf[:, 1].astype(jnp.uint32)
+            orig = ibuf[:, 2]
+            width = cap
+        st = stage_fn(st, a0, a1, d0, n_steps)
+        d0 += n_steps
+
+    if ct is not None:
+        return acc + retire(st, orig, final=True), dropped
+    return retire(st, orig, final=True), dropped
 
 
 def radiance(scene: Scene, origins, directions, keys, *, max_depth=100, rr_depth=4,

@@ -71,7 +71,8 @@ def sample_specular_c(dx, dy, dz, nox, noy, noz):
     return dx - 2.0 * nox * ndotd, dy - 2.0 * noy * ndotd, dz - 2.0 * noz * ndotd
 
 
-def sample_dielectric_c(dx, dy, dz, a_quad, nx, ny, nz, front, u_choice,
+def sample_dielectric_c(dx, dy, dz, a_quad, nx, ny, nz, front, u_choice, *,
+                        ior=REFRACTION_INDEX,
                         spx, spy, spz):
     """RTIOW dielectric (``dielectric_ray``, ``src/main.cpp:69-97``):
     index 2.0, Schlick-probability reflect-vs-refract choice (no splitting,
@@ -88,8 +89,8 @@ def sample_dielectric_c(dx, dy, dz, a_quad, nx, ny, nz, front, u_choice,
       (ddx, ddy, ddz, reflected) — direction unnormalized, matching the
       reference (it returns r_perp + r_parallel raw).
     """
-    ratio = jnp.where(front, jnp.float32(1.0 / REFRACTION_INDEX),
-                      jnp.float32(REFRACTION_INDEX)).astype(dx.dtype)
+    ratio = jnp.where(front, jnp.float32(1.0 / ior),
+                      jnp.float32(ior)).astype(dx.dtype)
     dinv = _rsqrt_safe(a_quad)
     udx, udy, udz = dx * dinv, dy * dinv, dz * dinv
     cos_d = jnp.minimum(-(udx * nx + udy * ny + udz * nz), 1.0)
@@ -123,7 +124,8 @@ def schlick(cosine, ref_idx):
     return r0 + (1.0 - r0) * (m * m * m * m * m)
 
 
-def scatter(mat_mask, d_in, outward_normal, normal, front, u_a, u_b):
+def scatter(mat_mask, d_in, outward_normal, normal, front, u_a, u_b,
+            ior=REFRACTION_INDEX):
     """Blend all three samplers by the one-hot material mask (replaces the
     ``switch`` at ``src/main.cpp:141-154``).  Returns new (unnormalized-ok)
     directions [B,3].
@@ -143,7 +145,8 @@ def scatter(mat_mask, d_in, outward_normal, normal, front, u_a, u_b):
     ddx, ddy, ddz = sample_diffuse_c(nx, ny, nz, u_a, u_b)
     spx, spy, spz = sample_specular_c(dx, dy, dz, nox, noy, noz)
     dlx, dly, dlz, _ = sample_dielectric_c(dx, dy, dz, a_quad, nx, ny, nz,
-                                           front, u_a, spx, spy, spz)
+                                           front, u_a, ior=ior,
+                                           spx=spx, spy=spy, spz=spz)
 
     m_dif, m_spe, m_die = mat_mask[:, 0], mat_mask[:, 1], mat_mask[:, 2]
     out_x = m_dif * ddx + m_spe * spx + m_die * dlx
@@ -179,5 +182,6 @@ def sample_dielectric(d_in, normal, front, u_choice):
     a_quad = dx * dx + dy * dy + dz * dz
     spx, spy, spz = sample_specular_c(dx, dy, dz, nx, ny, nz)
     ddx, ddy, ddz, reflected = sample_dielectric_c(
-        dx, dy, dz, a_quad, nx, ny, nz, front, u_choice, spx, spy, spz)
+        dx, dy, dz, a_quad, nx, ny, nz, front, u_choice,
+        spx=spx, spy=spy, spz=spz)
     return jnp.stack([ddx, ddy, ddz], axis=-1), reflected

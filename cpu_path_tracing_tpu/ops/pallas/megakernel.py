@@ -132,7 +132,8 @@ def _sqrt_safe(x):
 
 
 def make_step_math(cfg: RenderConfig, *, n_spheres: int, n_cells: int,
-                   n_items: int, n_gens: int, stride: int, ring_depth: int):
+                   n_items: int, n_gens: int, stride: int, ring_depth: int,
+                   ior: float = 2.0):
     """One fused wavefront iteration as pure array math over the SoA state
     dict: regeneration (queue pop + camera raygen) -> bounce RNG -> unrolled
     intersect -> shade -> alive/result update.  Shared verbatim by the
@@ -374,7 +375,9 @@ def make_step_math(cfg: RenderConfig, *, n_spheres: int, n_cells: int,
         spz = dz - 2.0 * noz_ * ndotd
 
         # ---------------- dielectric (src/main.cpp:69-97) -------------------
-        ratio = jnp.where(front, np.float32(0.5), np.float32(2.0))
+        # scene.ior is a static meta field: 2.0 (the default) compiles to the
+        # same literals as before, preserving the bitwise parity pins.
+        ratio = jnp.where(front, np.float32(1.0 / ior), np.float32(ior))
         udx, udy, udz = dx * dinv, dy * dinv, dz * dinv
         cos_d = jnp.minimum(-(udx * nx_ + udy * ny_ + udz * nz_), 1.0)
         sin_d = _sqrt_safe(1.0 - cos_d * cos_d)
@@ -429,13 +432,14 @@ def make_step_math(cfg: RenderConfig, *, n_spheres: int, n_cells: int,
 
 
 def make_kernel(cfg: RenderConfig, *, n_spheres: int, n_cells: int, n_items: int,
-                n_gens: int, lanes: int, ring_depth: int, rows: int):
+                n_gens: int, lanes: int, ring_depth: int, rows: int,
+                ior: float = 2.0):
     """Per-step kernel body (one iteration per pallas_call; the surrounding
     lax.while_loop lives in XLA — see render_wavefront_pallas)."""
     K = ring_depth
     step = make_step_math(cfg, n_spheres=n_spheres, n_cells=n_cells,
                           n_items=n_items, n_gens=n_gens, stride=lanes,
-                          ring_depth=ring_depth)
+                          ring_depth=ring_depth, ior=ior)
 
     def kernel(table_ref, cam_ref, dyn_ref, *refs):
         nstate = len(STATE_NAMES)
@@ -482,12 +486,14 @@ def make_kernel(cfg: RenderConfig, *, n_spheres: int, n_cells: int, n_items: int
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "n_spheres", "n_cells", "n_items", "n_gens",
-                     "lanes", "ring_depth", "rows", "interpret", "alias"),
+                     "lanes", "ring_depth", "rows", "interpret", "alias",
+                     "ior"),
 )
 def megakernel_step(state: dict, ring: dict, table, cam, dyn, *, cfg: RenderConfig,
                     n_spheres: int, n_cells: int, n_items: int, n_gens: int,
                     lanes: int, ring_depth: int, rows: int = DEFAULT_ROWS,
-                    interpret: bool = False, alias: bool = True):
+                    interpret: bool = False, alias: bool = True,
+                    ior: float = 2.0):
     """Run one fused wavefront iteration.
 
     Args:
@@ -503,7 +509,7 @@ def megakernel_step(state: dict, ring: dict, table, cam, dyn, *, cfg: RenderConf
 
     kernel = make_kernel(
         cfg, n_spheres=n_spheres, n_cells=n_cells, n_items=n_items,
-        n_gens=n_gens, lanes=lanes, ring_depth=ring_depth, rows=rows,
+        n_gens=n_gens, lanes=lanes, ring_depth=ring_depth, rows=rows, ior=ior,
     )
 
     state_specs = [
@@ -560,7 +566,7 @@ def megakernel_step(state: dict, ring: dict, table, cam, dyn, *, cfg: RenderConf
 
 def make_persistent_kernel(cfg: RenderConfig, *, n_spheres: int, n_cells: int,
                            n_items: int, n_gens: int, rows: int,
-                           ring_depth: int):
+                           ring_depth: int, ior: float = 2.0):
     """Whole-render kernel: the wavefront ``while`` loop runs INSIDE the
     kernel with all lane state resident in VMEM scratch.
 
@@ -586,7 +592,7 @@ def make_persistent_kernel(cfg: RenderConfig, *, n_spheres: int, n_cells: int,
     K = ring_depth
     step = make_step_math(cfg, n_spheres=n_spheres, n_cells=n_cells,
                           n_items=n_items, n_gens=n_gens, stride=rows * LANE,
-                          ring_depth=ring_depth)
+                          ring_depth=ring_depth, ior=ior)
 
     def kernel(table_ref, cam_ref, dyn_ref, out_ref, nseg_ref, iters_ref,
                *scratch):
@@ -671,11 +677,12 @@ def make_persistent_kernel(cfg: RenderConfig, *, n_spheres: int, n_cells: int,
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "n_spheres", "n_cells", "n_items", "n_gens",
-                     "rows", "ring_depth", "interpret"),
+                     "rows", "ring_depth", "interpret", "ior"),
 )
 def persistent_render(table, cam, dyn, *, cfg: RenderConfig, n_spheres: int,
                       n_cells: int, n_items: int, n_gens: int, rows: int,
-                      ring_depth: int, interpret: bool = False):
+                      ring_depth: int, interpret: bool = False,
+                      ior: float = 2.0):
     """Run the whole wavefront render in one kernel launch.
 
     Args:
@@ -685,7 +692,7 @@ def persistent_render(table, cam, dyn, *, cfg: RenderConfig, n_spheres: int,
     """
     kernel = make_persistent_kernel(
         cfg, n_spheres=n_spheres, n_cells=n_cells, n_items=n_items,
-        n_gens=n_gens, rows=rows, ring_depth=ring_depth)
+        n_gens=n_gens, rows=rows, ring_depth=ring_depth, ior=ior)
 
     out, nseg, iters = pl.pallas_call(
         kernel,

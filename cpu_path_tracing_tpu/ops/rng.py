@@ -52,10 +52,14 @@ _ROTATIONS = ((13, 15, 26, 6), (17, 29, 16, 24))
 ROUNDS = 13
 
 
-def threefry2x32(k0, k1, c0, c1) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Threefry-2x32 block (ROUNDS rounds): keys (k0,k1), counter (c0,c1)
-    -> 2 words.  All inputs broadcast; uint32 in, uint32 out.  Random123
-    semantics: key injection after every 4th round only.
+def threefry2x32(k0, k1, c0, c1, rounds: int = ROUNDS) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Threefry-2x32 block (``rounds`` rounds, default ROUNDS): keys (k0,k1),
+    counter (c0,c1) -> 2 words.  All inputs broadcast; uint32 in, uint32 out.
+    Random123 semantics: key injection after every 4th round only.
+    (``rounds`` is a test seam: tests/test_rng.py pins the 20-round output
+    against the published Random123/jax KAT vectors, which validates the
+    rotation schedule and key-injection structure the 13-round production
+    variant shares.)
     """
     k0 = jnp.asarray(k0, _U32)
     k1 = jnp.asarray(k1, _U32)
@@ -67,9 +71,9 @@ def threefry2x32(k0, k1, c0, c1) -> Tuple[jnp.ndarray, jnp.ndarray]:
 
     done = 0
     group = 0
-    while done < ROUNDS:
+    while done < rounds:
         for r in _ROTATIONS[group % 2]:
-            if done == ROUNDS:
+            if done == rounds:
                 break
             x0 = x0 + x1
             x1 = (x1 << r) | (x1 >> (32 - r))

@@ -322,7 +322,7 @@ def render_wavefront_pallas(
     kw = dict(
         cfg=cfg, n_spheres=scene.num_spheres, n_cells=n_cells, n_items=n_items,
         n_gens=n_gens, lanes=B, ring_depth=K, rows=rows, interpret=interpret,
-        alias=alias,
+        alias=alias, ior=scene.ior,
     )
 
     def cond(carry):
@@ -430,7 +430,7 @@ def render_wavefront_pallas_persistent(
     out, nseg, iters = persistent_render(
         table, cam, dyn, cfg=cfg, n_spheres=scene.num_spheres,
         n_cells=n_cells, n_items=n_items, n_gens=n_gens, rows=rows,
-        ring_depth=K, interpret=interpret,
+        ring_depth=K, interpret=interpret, ior=scene.ior,
     )
     # out[g, c, row, lane]: flat index (g*Bt + row*128 + lane) IS the global
     # item index.  Reduce each component SEPARATELY and stack only the final

@@ -110,7 +110,34 @@ def render_shard_multihost(scene: Scene, cfg: RenderConfig, mesh: Optional[Mesh]
     return out
 
 
-def write_shards(out_dir: str, shards, cfg: RenderConfig, process_id: int) -> str:
+def render_fingerprint(scene: Scene, cfg: RenderConfig) -> str:
+    """Identity of one shard-mode render: the per-sample computation
+    fingerprint (scene bytes + numerics, utils/checkpoint._fingerprint) plus
+    the sample count.  Embedded in every shard file so stale shards from a
+    previous run (or a different scene/config) in the same --shard-dir are
+    rejected instead of silently assembled into a corrupt image."""
+    from ..utils.checkpoint import _fingerprint
+    import hashlib
+
+    h = hashlib.sha256()
+    h.update(_fingerprint(scene, cfg).encode())
+    h.update(str(cfg.spp).encode())
+    return h.hexdigest()[:16]
+
+
+def _shard_fingerprint_of(path: str) -> Optional[str]:
+    """Fingerprint stored in a shard file (None for pre-fingerprint files)."""
+    try:
+        with np.load(path) as z:
+            if "fingerprint" in z.files:
+                return str(z["fingerprint"])
+    except Exception:
+        return None  # partially-visible or foreign file: not a valid shard
+    return None
+
+
+def write_shards(out_dir: str, shards, cfg: RenderConfig, process_id: int,
+                 fingerprint: Optional[str] = None) -> str:
     """Persist this process's shards as one .npz (idempotent, keyed by pid)."""
     os.makedirs(out_dir, exist_ok=True)
     path = os.path.join(out_dir, f"shard_{process_id:05d}.npz")
@@ -120,29 +147,77 @@ def write_shards(out_dir: str, shards, cfg: RenderConfig, process_id: int) -> st
         starts=np.asarray([s for s, _, _ in shards], np.int64),
         stops=np.asarray([e for _, e, _ in shards], np.int64),
         means=np.concatenate([d for _, _, d in shards], axis=0),
+        fingerprint=np.asarray(fingerprint or ""),
     )
     os.replace(tmp, path)
     return path
 
 
+def _matching_shards(out_dir: str, fingerprint: Optional[str]) -> list[str]:
+    names = sorted(
+        n for n in (os.listdir(out_dir) if os.path.isdir(out_dir) else [])
+        if n.startswith("shard_") and n.endswith(".npz")
+    )
+    if fingerprint is None:
+        return names
+    return [n for n in names
+            if _shard_fingerprint_of(os.path.join(out_dir, n)) == fingerprint]
+
+
 def wait_for_shards(out_dir: str, num_processes: int, timeout: float = 300.0,
-                    poll: float = 0.25) -> list[str]:
+                    poll: float = 0.25, fingerprint: Optional[str] = None) -> list[str]:
     """Elastic replacement for the cross-process sync barrier in shard mode:
     process 0 polls for the other hosts' shard files instead of entering a
     collective that would HANG FOREVER if a host died (shard writes are
-    atomic os.replace, so a present file is a complete file).  Returns the
-    shard files found; on timeout returns whatever exists — the assembler
-    re-renders the rest (:func:`assemble_shards`)."""
+    atomic os.replace, so a present file is a complete file).  With
+    ``fingerprint``, only shards from THIS render count — stale files from a
+    previous run cannot satisfy the wait.  Returns the shard files found; on
+    timeout returns whatever exists — the assembler re-renders the rest
+    (:func:`assemble_shards`)."""
     import time
 
     deadline = time.monotonic() + timeout
     while True:
-        names = sorted(
-            n for n in (os.listdir(out_dir) if os.path.isdir(out_dir) else [])
-            if n.startswith("shard_") and n.endswith(".npz")
-        )
+        names = _matching_shards(out_dir, fingerprint)
         if len(names) >= num_processes or time.monotonic() >= deadline:
             return names
+        time.sleep(poll)
+
+
+# Sentinel protocol for surviving non-zero processes (ADVICE r4 medium):
+# jax.distributed's atexit shutdown barrier fatally aborts every survivor
+# once the coordinator marks a dead task ERROR, so after a detected host
+# loss ALL survivors must skip it via os._exit(0) — not just process 0.
+# Process 0 (the only one that can detect the loss, via its shard wait)
+# broadcasts the decision through a sentinel file in the shared shard dir.
+_LOST_SENTINEL = "LOST_HOSTS"
+
+
+def signal_lost_hosts(out_dir: str) -> None:
+    """Atomically publish 'a host died; survivors must clean-exit'."""
+    tmp = os.path.join(out_dir, _LOST_SENTINEL + ".tmp")
+    with open(tmp, "w") as fh:
+        fh.write("1\n")
+    os.replace(tmp, os.path.join(out_dir, _LOST_SENTINEL))
+
+
+def wait_all_or_lost(out_dir: str, num_processes: int, timeout: float,
+                     poll: float = 0.25, fingerprint: Optional[str] = None) -> str:
+    """Non-zero-process side of the elastic exit protocol.  Polls until
+    either every process's shard landed ('complete' — all hosts alive, the
+    normal shutdown barrier is safe) or process 0 signalled a host loss
+    ('lost' — skip the barrier).  'timeout' covers the pathological case of
+    process 0 itself dying mid-wait."""
+    import time
+
+    deadline = time.monotonic() + timeout
+    while True:
+        if os.path.exists(os.path.join(out_dir, _LOST_SENTINEL)):
+            return "lost"
+        if len(_matching_shards(out_dir, fingerprint)) >= num_processes:
+            return "complete"
+        if time.monotonic() >= deadline:
+            return "timeout"
         time.sleep(poll)
 
 
@@ -172,16 +247,27 @@ def recover_missing_cells(cells: np.ndarray, scene: Scene, cfg: RenderConfig):
     return spans
 
 
-def assemble_shards(out_dir: str, cfg: RenderConfig, scene: Scene | None = None):
+def assemble_shards(out_dir: str, cfg: RenderConfig, scene: Scene | None = None,
+                    fingerprint: Optional[str] = None):
     """Combine shard files from all hosts into the final [H,W,3] image.
 
     With ``scene`` given, missing cells (a lost host) are automatically
     re-rendered locally (:func:`recover_missing_cells`) — elastic recovery
-    instead of a crash; without it, raises so the caller can re-run."""
+    instead of a crash; without it, raises so the caller can re-run.  With
+    ``fingerprint``, shards from a different render are skipped (warned) —
+    they would otherwise assemble into a silently corrupt image."""
+    import sys
+
     cells = np.full((cfg.num_cells, 3), np.nan, np.float32)
     for name in sorted(os.listdir(out_dir)):
         if not (name.startswith("shard_") and name.endswith(".npz")):
             continue
+        if fingerprint is not None:
+            got = _shard_fingerprint_of(os.path.join(out_dir, name))
+            if got != fingerprint:
+                print(f"assemble_shards: skipping stale shard {name} "
+                      f"(fingerprint {got!r} != {fingerprint!r})", file=sys.stderr)
+                continue
         z = np.load(os.path.join(out_dir, name))
         off = 0
         for start, stop in zip(z["starts"], z["stops"]):

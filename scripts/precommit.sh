@@ -15,6 +15,11 @@ fi
 echo "== compile check =="
 python -m compileall -q cpu_path_tracing_tpu tests bench.py __graft_entry__.py
 
+echo "== format gate (unconditional; scripts/format.py, stdlib) =="
+# The reference's clang-format diff gate (its precommit.sh:3-5) — run the
+# normalizer in check mode; any diff fails the commit.
+python scripts/format.py --check
+
 echo "== lint (unconditional; scripts/lint.py, stdlib AST) =="
 # The reference's clang-tidy gate is unconditional (WarningsAsErrors: '1',
 # scripts/precommit.sh:7 there); this one must be too — scripts/lint.py has

@@ -144,3 +144,53 @@ def test_assemble_detects_missing_shard(tmp_path):
     write_shards(str(tmp_path), [(n // 2, n, half)], cfg, 1)
     img = assemble_shards(str(tmp_path), cfg)
     assert img.shape == (2, 4, 3)
+
+
+def test_stale_shards_rejected_by_fingerprint(tmp_path):
+    """A stale shard from a previous run (different scene/cfg) in the same
+    --shard-dir must neither satisfy the wait nor be assembled (ADVICE r4):
+    before fingerprinting it silently produced a corrupt image."""
+    from cpu_path_tracing_tpu.parallel.distributed import (
+        assemble_shards, render_fingerprint, wait_for_shards, write_shards)
+    from cpu_path_tracing_tpu.render import finalize_image, render_cells_range
+
+    import jax.numpy as jnp
+
+    cfg = pt.RenderConfig(width=8, height=6, spp=2, max_depth=6, integrator="batch")
+    scene = pt.get_scene("box", 8, 6)
+    fp = render_fingerprint(scene, cfg)
+    stale_fp = render_fingerprint(scene, cfg.replace(seed=99))
+    assert fp != stale_fp
+    n = cfg.num_cells
+    ids = jnp.arange(n, dtype=jnp.int32)
+    means = np.asarray(render_cells_range(scene, cfg, ids, 0, cfg.spp) / cfg.spp,
+                       np.float32)
+    ref = np.asarray(finalize_image(jnp.asarray(means), cfg))
+
+    # "host 1" left a stale shard with WRONG data from a previous run
+    write_shards(str(tmp_path), [(n // 2, n, np.ones((n - n // 2, 3), np.float32))],
+                 cfg, 1, fingerprint=stale_fp)
+    write_shards(str(tmp_path), [(0, n // 2, means[: n // 2])], cfg, 0,
+                 fingerprint=fp)
+
+    # the wait must see only ONE valid shard (timeout path)
+    names = wait_for_shards(str(tmp_path), 2, timeout=0.5, fingerprint=fp)
+    assert names == ["shard_00000.npz"]
+
+    # assembly must skip the stale shard and recover the lost span locally
+    img = np.asarray(assemble_shards(str(tmp_path), cfg, scene=scene,
+                                     fingerprint=fp))
+    np.testing.assert_array_equal(img, ref)
+
+    # without a scene, the skipped stale shard surfaces as missing cells
+    with pytest.raises(ValueError, match="missing"):
+        assemble_shards(str(tmp_path), cfg, fingerprint=fp)
+
+
+def test_lost_hosts_sentinel_roundtrip(tmp_path):
+    from cpu_path_tracing_tpu.parallel.distributed import (
+        signal_lost_hosts, wait_all_or_lost)
+
+    assert wait_all_or_lost(str(tmp_path), 2, timeout=0.3) == "timeout"
+    signal_lost_hosts(str(tmp_path))
+    assert wait_all_or_lost(str(tmp_path), 2, timeout=0.3) == "lost"
