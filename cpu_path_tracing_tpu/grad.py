@@ -30,6 +30,9 @@ from .parallel.mesh import SAMPLE_AXIS, TILE_AXIS
 
 # Scene fields that may be optimized.
 OPTIMIZABLE = ("p0", "radius", "albedo", "emission", "camera", "background")
+# Fields whose gradients the analytic replay backward covers (multilinear in
+# the estimator — ops/replay.py); the rest need the reverse-mode scan.
+OPTIMIZABLE_REPLAY = ("albedo", "emission", "background")
 
 
 def split_params(scene: Scene, fields=("p0", "radius", "albedo")) -> Dict[str, Any]:
@@ -186,7 +189,7 @@ def _compact_bwd_cfg(scene: Scene, cfg: RenderConfig, compact: bool) -> RenderCo
 
 
 def make_diff_render(scene: Scene, cfg: RenderConfig, sample_chunk: Optional[int] = None,
-                     compact: bool = True):
+                     compact: bool = True, replay: bool = True):
     """Differentiable per-cell MEAN radiance with decoupled forward/backward.
 
     The production inverse-rendering estimator (BASELINE.json north star:
@@ -215,7 +218,7 @@ def make_diff_render(scene: Scene, cfg: RenderConfig, sample_chunk: Optional[int
     contiguous span (wavefront contract, render.py).
     """
     S = cfg.spp
-    render_sum = make_diff_render_span(scene, cfg, S, sample_chunk, compact=compact)
+    render_sum = make_diff_render_span(scene, cfg, S, sample_chunk, compact=compact, replay=replay)
 
     def render_mean(params, cell_ids):
         return render_sum(params, cell_ids, 0) / S
@@ -226,7 +229,7 @@ def make_diff_render(scene: Scene, cfg: RenderConfig, sample_chunk: Optional[int
 
 def make_diff_render_span(scene: Scene, cfg: RenderConfig, spp_span: int,
                           sample_chunk: Optional[int] = None,
-                          compact: bool = True):
+                          compact: bool = True, replay: bool = True):
     """Differentiable per-cell radiance SUM over the ``spp_span`` samples
     starting at a (traced) ``sample_start`` — the span-parameterized core of
     ``make_diff_render``, reusable per sample-axis shard (each mesh shard
@@ -252,6 +255,25 @@ def make_diff_render_span(scene: Scene, cfg: RenderConfig, spp_span: int,
 
     def bwd(res, ct):
         params, cell_ids, sample_start = res
+
+        if replay and set(params) <= set(OPTIMIZABLE_REPLAY):
+            # Analytic wavefront replay: the whole sample span in ONE
+            # regenerating early-exit pass — no tape, no transpose, no fixed
+            # trip count, O(lanes) memory (ops/replay.py; measured round 5:
+            # scan VJP 74 ms/sample at production shape vs ~4 ms replay,
+            # PERF.md §8).  sample_chunk is irrelevant here (no activation
+            # memory to bound).
+            from .ops.replay import replay_param_grads_wavefront
+
+            sc = merge_params(scene, params)
+            g = replay_param_grads_wavefront(
+                sc, bwd_cfg, cell_ids, sample_start, spp_span, ct)
+            g = {k: g[k].astype(params[k].dtype) for k in params}
+            return (
+                g,
+                np.zeros(ct.shape[:1], dtype=jax.dtypes.float0),
+                np.zeros((), dtype=jax.dtypes.float0),
+            )
 
         def chunk_grad(s0):
             if bwd_cfg.compact_schedule is not None:
@@ -296,7 +318,7 @@ def make_diff_render_span(scene: Scene, cfg: RenderConfig, spp_span: int,
 def make_accum_train_step(scene: Scene, cfg: RenderConfig, optimizer, *,
                           cell_chunk: Optional[int] = None,
                           sample_chunk: Optional[int] = None,
-                          compact: bool = True):
+                          compact: bool = True, replay: bool = True):
     """Single-chip inverse rendering at production scale (BASELINE config:
     box_scene 400x400@64spp, max_depth 100).
 
@@ -311,7 +333,7 @@ def make_accum_train_step(scene: Scene, cfg: RenderConfig, optimizer, *,
     """
     n = cfg.num_cells
     cc = min(cell_chunk or n, n)
-    render_mean = make_diff_render(scene, cfg, sample_chunk, compact=compact)
+    render_mean = make_diff_render(scene, cfg, sample_chunk, compact=compact, replay=replay)
     bwd_cfg = render_mean.bwd_cfg
     if bwd_cfg.compact_schedule is not None:
         # Validate the pilot-tuned compaction capacities at the REAL chunk
@@ -324,7 +346,7 @@ def make_accum_train_step(scene: Scene, cfg: RenderConfig, optimizer, *,
             print("make_accum_train_step: compaction schedule dropped live "
                   "lanes at the production chunk shape; disabling compaction",
                   file=sys.stderr)
-            render_mean = make_diff_render(scene, cfg, sample_chunk, compact=False)
+            render_mean = make_diff_render(scene, cfg, sample_chunk, compact=False, replay=replay)
             bwd_cfg = render_mean.bwd_cfg
 
     @jax.jit
@@ -364,7 +386,7 @@ def make_accum_train_step(scene: Scene, cfg: RenderConfig, optimizer, *,
 def make_sharded_accum_train_step(mesh, scene: Scene, cfg: RenderConfig, optimizer, *,
                                   cell_chunk: Optional[int] = None,
                                   sample_chunk: Optional[int] = None,
-                                  compact: bool = True):
+                                  compact: bool = True, replay: bool = True):
     """Mesh-parallel inverse rendering at production scale (VERDICT r2 #5):
     the composition of ``make_accum_train_step``'s memory machinery (host
     loop over cell chunks; sample-chunked rematerialized backward) with the
@@ -393,7 +415,7 @@ def make_sharded_accum_train_step(mesh, scene: Scene, cfg: RenderConfig, optimiz
     cc = min(cell_chunk or n, n)
     cc = -(-cc // n_tiles) * n_tiles
     render_sum = make_diff_render_span(scene, cfg, spp_local, sample_chunk,
-                                       compact=compact)
+                                       compact=compact, replay=replay)
     if render_sum.bwd_cfg.compact_schedule is not None and backward_drop_count(
             scene, render_sum.bwd_cfg, cc // n_tiles) > 0:
         import sys

@@ -79,13 +79,20 @@ def init_state(origins, directions) -> RayState:
     )
 
 
-def bounce_step(scene: Scene, state: RayState, uniforms, depth, *, rr_depth, epsilon, inf) -> RayState:
+def bounce_step(scene: Scene, state: RayState, uniforms, depth, *, rr_depth, epsilon, inf,
+                with_aux: bool = False) -> RayState:
     """Advance every live ray one bounce.  ``uniforms``: [B,4] (see ops/rng.py).
 
     Expression structure mirrors the Pallas megakernel chain-for-chain (see
     ops/intersect.py docstring: identical structure compiles
     bitwise-identically under XLA and Mosaic — the on-device parity gate
     depends on it).
+
+    ``with_aux`` additionally returns the per-lane bounce internals the
+    replay backward needs (ops/replay.py): hit flags/ids, the pre-bounce
+    throughput, this bounce's emission pickup, the sky value and lerp t on a
+    miss, and the Russian-roulette decision — all values already computed
+    here, so replay sees the IDENTICAL discrete decisions and prefixes.
     """
     o, d, thr, emit, alive, result = state
     dt = o.dtype
@@ -137,7 +144,7 @@ def bounce_step(scene: Scene, state: RayState, uniforms, depth, *, rr_depth, eps
 
     cont = alive & hit & ~killed
     cm = cont[:, None]
-    return RayState(
+    new_state = RayState(
         origin=jnp.where(cm, hp, o),
         direction=jnp.where(cm, d_new, d),
         throughput=jnp.where(cm, thr_new, thr),
@@ -145,6 +152,14 @@ def bounce_step(scene: Scene, state: RayState, uniforms, depth, *, rr_depth, eps
         alive=cont,
         result=result,
     )
+    if with_aux:
+        aux = {
+            "hit": hit, "hid": hid, "thr_pre": thr, "em_h": em_h,
+            "sky": sky, "sky_t": sky_t, "die_miss": die_miss,
+            "rr_scaled": do_rr & survive, "cont": cont, "was_alive": alive,
+        }
+        return new_state, aux
+    return new_state
 
 
 def radiance_compact(scene: Scene, origins, directions, keys, *, max_depth=100,

@@ -230,7 +230,12 @@ def make_step_math(cfg: RenderConfig, *, n_spheres: int, n_cells: int,
         # ---------------- bounce uniforms (ops/rng.py layout) ---------------
         purpose = jax.lax.bitcast_convert_type(s["depth"] + 1, jnp.uint32)
         b0, b1 = threefry2x32(s["k0"], s["k1"], purpose, purpose * jnp.uint32(0))
-        b2, b3 = threefry2x32(s["k0"], s["k1"], purpose, purpose * jnp.uint32(0) + jnp.uint32(1))
+        # b3 is the RESERVED u_c word (ops/rng.py draw-layout docstring):
+        # 3 words/bounce from 2-word blocks leaves one spare; reclaiming it
+        # would carry a spare block across iterations (~2-3% forward) at the
+        # cost of an RNG-layout change invalidating every pin — deliberately
+        # kept as the future 4th-draw slot.
+        b2, _b3 = threefry2x32(s["k0"], s["k1"], purpose, purpose * jnp.uint32(0) + jnp.uint32(1))
         u_rr, u_a, u_b = _u01(b0), _u01(b1), _u01(b2)
 
         ox, oy, oz = s["ox"], s["oy"], s["oz"]

@@ -36,6 +36,15 @@ Draw layout per (cell, sample):
       dielectric: u_a = reflect/refract choice
       (the reference's draw counts are data-dependent, src/main.cpp:44-97;
       a fixed 4-draw block replaces them — SURVEY.md §3.3)
+
+u_c is RESERVED, deliberately (VERDICT r4 #7): a bounce consumes 3 words
+and Threefry-2x32 mints 2 per block, so 2 blocks/bounce is the counter-pure
+minimum; reclaiming the 4th word means carrying the previous bounce's spare
+block across iterations (an extra persistent state word) for a measured
+~2-3% forward win, at the price of an RNG-layout change that invalidates
+every pinned render and refit scene.  It is kept as the slot for a future
+4-draw feature (e.g. a roughness/fuzz draw, whose no-op quirk
+ops/materials.py already documents).
 """
 
 from __future__ import annotations

@@ -311,7 +311,10 @@ def test_compact_scan_primal_and_grad_exact():
     assert int(dropped) == 0
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
 
-    params = split_params(scene, ("p0", "albedo", "emission"))
+    # p0 exercises the geometry chain THROUGH the compaction gather
+    # transpose; albedo the throughput chain.  (emission dropped for tier
+    # budget — it shares albedo's transpose path.)
+    params = split_params(scene, ("p0", "albedo"))
 
     def loss(p, schedule):
         sc = merge_params(scene, p)
@@ -330,7 +333,7 @@ def test_compact_scan_fd_smoke():
     (ADVICE r4: a grad regression must not pass precommit)."""
     from cpu_path_tracing_tpu.grad import make_diff_render
 
-    cfg = pt.RenderConfig(width=8, height=6, spp=2, max_depth=16)
+    cfg = pt.RenderConfig(width=6, height=4, spp=2, max_depth=16)
     scene = pt.get_scene("simple", cfg.width, cfg.height, dtype=jnp.float64)
     ids = jnp.arange(cfg.num_cells, dtype=jnp.int32)
     rm = make_diff_render(scene, cfg, sample_chunk=1)

@@ -121,16 +121,20 @@ def test_persistent_megakernel_matches_per_step():
         render_wavefront_pallas_persistent,
     )
 
-    cfg = pt.RenderConfig(width=12, height=8, spp=2, max_depth=12)
-    for name, bitwise in (("box_mirror", True), ("simple", False)):
+    # Shapes sized for the fast tier (ADVICE r4: this parity case must stay
+    # in precommit; interpret-mode pallas cost ~ lanes x iters).
+    # One bitwise scene here; the sky-scene tolerance case and the other
+    # bitwise scenes stay in the slow tier (test_pallas_megakernel_matches_xla).
+    cfg = pt.RenderConfig(width=12, height=8, spp=1, max_depth=8)
+    for name, bitwise in (("box_mirror", True),):
         scene = pt.get_scene(name, 12, 8)
         ids = _cells(cfg)
-        ref = np.asarray(render_wavefront(scene, cfg, ids, 0, 2, lanes=1024))
+        ref = np.asarray(render_wavefront(scene, cfg, ids, 0, 1, lanes=1024))
         per = np.asarray(
-            render_wavefront_pallas(scene, cfg, ids, 0, 2, lanes=1024, rows=8,
+            render_wavefront_pallas(scene, cfg, ids, 0, 1, lanes=1024, rows=8,
                                     interpret=True))
         new, st = render_wavefront_pallas_persistent(
-            scene, cfg, ids, 0, 2, rows=8, interpret=True, with_stats=True)
+            scene, cfg, ids, 0, 1, rows=8, interpret=True, with_stats=True)
         new = np.asarray(new)
         np.testing.assert_array_equal(new, per, err_msg=name)
         if bitwise:
@@ -158,13 +162,26 @@ def test_persistent_rows_and_ring_invariance():
         np.testing.assert_array_equal(out, ref, err_msg=f"rows={rows} K={ring}")
 
 
-def test_pallas_integrator_dispatch():
-    """cfg.integrator='pallas' routes through render_cells_range."""
+def test_pallas_integrator_dispatch(monkeypatch):
+    """cfg.integrator='pallas' routes render_cells_range to the persistent
+    megakernel (and pallas_persistent=False to the per-step path).  Routing
+    only — numeric parity of those paths is covered by
+    test_persistent_megakernel_matches_per_step and the slow-tier/on-device
+    gates; executing interpret-mode pallas here cost ~20 s of fast tier."""
+    import cpu_path_tracing_tpu.render as render_mod
+    from cpu_path_tracing_tpu.ops import wavefront
+
     cfg = pt.RenderConfig(width=8, height=6, spp=1, max_depth=8, integrator="pallas")
     scene = pt.get_scene("box", 8, 6)
-    out = np.asarray(render_cells_range(scene, cfg, _cells(cfg), 0, 1))
-    ref = _batch(scene, cfg, 1)
-    np.testing.assert_allclose(out, ref, atol=2e-6, rtol=1e-5)
+    calls = []
+    monkeypatch.setattr(wavefront, "render_wavefront_pallas_persistent",
+                        lambda *a, **k: calls.append("persistent") or a[2])
+    monkeypatch.setattr(wavefront, "render_wavefront_pallas",
+                        lambda *a, **k: calls.append("per-step") or a[2])
+    render_mod.render_cells_range(scene, cfg, _cells(cfg), 0, 1)
+    render_mod.render_cells_range(scene, cfg.replace(pallas_persistent=False),
+                                  _cells(cfg), 0, 1)
+    assert calls == ["persistent", "per-step"]
 
 
 def test_noncontiguous_cells_rejected():
