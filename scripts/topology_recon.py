@@ -55,21 +55,26 @@ from reconstruct import load_golden, mad255, pool
 
 # Each auxiliary emitter: (x, y, z, radius, emission) with per-prior seeds.
 # z is in scene units (camera ~ +1.5..+2, box mouth ~ +0.1, back wall ~ -1).
-# Seeds start NEARLY DARK (e ~ 0.4): the init score then matches the base
-# topology's and the coordinate search grows the emitter only where it
-# helps — a bright seed started ~20 MAD underwater and 4 budget rounds
-# never clawed back (measured round 5, first sweep).
+# Two measured constraints from the round-5 first sweep (traces in
+# /tmp/topo_cl, summarized in docs/RECONSTRUCTION.md):
+#  * seeds start NEARLY DARK (e ~ 0.4): a bright seed started ~20 MAD
+#    underwater and a 4-round budget never clawed back;
+#  * the box walls are SOLID r=1e6 spheres — an emitter past a wall plane
+#    (|x|,|y| > 0.4 or z < -1) is entombed and contributes exactly nothing
+#    (the 'above'/'side' priors of the first sweep reproduced the base
+#    score bit-for-bit).  Usable out-of-frustum space is the box interior
+#    near/above the frustum's top edge and the open region behind the
+#    camera (the parametrization has no front wall).
 AUX_PRIORS = {
-    "behind": [(0.0, 0.3, 2.6, 0.5, 0.4)],
-    "above": [(0.0, 1.0, -0.6, 0.45, 0.4)],
-    "above2": [(-0.45, 0.95, -0.7, 0.35, 0.4), (0.45, 0.95, -0.7, 0.35, 0.4)],
-    "side": [(0.55, 0.3, -0.3, 0.3, 0.4)],
-    "front": [(0.0, 0.45, 0.9, 0.35, 0.4)],
+    "behind": [(0.0, 0.2, 2.4, 0.4, 0.4)],
+    "topnear": [(0.0, 0.33, 1.3, 0.12, 0.4)],
+    "toppair": [(-0.28, 0.32, 1.2, 0.1, 0.4), (0.28, 0.32, 1.2, 0.1, 0.4)],
+    "ceilmid": [(0.0, 0.36, 0.0, 0.1, 0.4)],
 }
-AUX_STEP = (0.08, 0.08, 0.15, 0.05, 1.0)
-AUX_LO = (-1.2, -0.5, -1.1, 0.05, 0.0)
-AUX_HI = (1.2, 1.6, 3.5, 0.9, 120.0)
-TOPOLOGIES = ("base", "behind", "above", "above2", "side", "front")
+AUX_STEP = (0.06, 0.04, 0.12, 0.04, 1.0)
+AUX_LO = (-0.38, -0.38, -0.95, 0.03, 0.0)
+AUX_HI = (0.38, 0.385, 3.2, 0.6, 120.0)
+TOPOLOGIES = ("base", "behind", "topnear", "toppair", "ceilmid")
 
 
 def build(target: dict, topo: str, x: np.ndarray) -> dict:
