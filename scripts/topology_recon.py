@@ -182,7 +182,9 @@ def main() -> int:
                 a.height, a.width)
     cfg = pt.RenderConfig(width=a.width, height=a.height,
                           spp=a.total_spp // 4, max_depth=100)
-    tmp = f"/tmp/topology_recon_{a.target}.json"
+    # PID-unique: two searches sharing a target name must not race on the
+    # scratch scene file (observed: concurrent JSON writes -> parse error).
+    tmp = f"/tmp/topology_recon_{a.target}_{os.getpid()}.json"
 
     def make_eval(topo):
         def evaluate(x):

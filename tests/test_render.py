@@ -131,3 +131,37 @@ def test_render_image_sample_chunking_capped_and_equivalent(monkeypatch):
     assert seen, "spy never saw a launch"
     assert all(b * s <= cap for b, s in seen), seen
     assert any(s < cfg.spp for b, s in seen), "sample chunking never engaged"
+
+
+def test_tent_filter_statistics_and_dispatch():
+    """jitter='tent' must (a) reproduce the smallpt tent distribution —
+    mean 0.5 subpixel units, wider-than-uniform spread, support [-0.5,1.5]
+    — (b) refuse the pallas kernel (no in-kernel tent camera), (c) resolve
+    'auto' away from pallas."""
+    import jax.numpy as jnp_
+    from cpu_path_tracing_tpu.render import (
+        camera_rays_for_cells, resolve_integrator)
+
+    cfg_u = RenderConfig(width=64, height=1, spp=1, num_subpixels=1)
+    cfg_t = cfg_u.replace(jitter="tent")
+    scene = get_scene("smallpt_exact", 64, 1)
+    ids = jnp_.arange(64, dtype=jnp_.int32)
+    rng = np.random.default_rng(0)
+    u = jnp_.asarray(rng.uniform(size=(64, 4)), jnp_.float32)
+    # x_in = x + jitter; recover the jitter by subtracting the cell x
+    _, d_u = camera_rays_for_cells(scene, cfg_u, ids, u, jnp_.float32)
+    _, d_t = camera_rays_for_cells(scene, cfg_t, ids, u, jnp_.float32)
+    # directions differ (the filter changed the sample positions)
+    assert np.abs(np.asarray(d_u) - np.asarray(d_t)).max() > 0
+
+    # distribution check on the raw tent transform
+    r = rng.uniform(size=200000)
+    tent = np.where(2 * r < 1, np.sqrt(2 * r) - 1, 1 - np.sqrt(2 - 2 * r))
+    j = 0.5 + tent
+    assert abs(j.mean() - 0.5) < 5e-3
+    assert j.min() >= -0.5 and j.max() <= 1.5
+    assert j.std() > np.sqrt(1 / 12) + 0.05  # wider than uniform
+
+    assert resolve_integrator(scene, cfg_t.replace(integrator="auto")) == "wavefront"
+    with pytest.raises(ValueError, match="pallas"):
+        resolve_integrator(scene, cfg_t.replace(integrator="pallas"))
