@@ -293,8 +293,13 @@ def random_spheres_512_scene(width: int, height: int, dtype=jnp.float32) -> Scen
 # geometry waves, anchored on the surviving box_scene.hpp house style —
 # light emission ~9 with albedo 1.8, walls as +-0.4 giant spheres; see
 # docs/RECONSTRUCTION.md for the method, the forward-model analysis, and
-# the per-wave search traces).  Pooled MAD vs the goldens at 512x384@1024spp:
-# clear_light 15.6/255 (round 3: 22.47), greenish_party 21.4/255 (round 3:
+# the per-wave search traces).  Round 5 added a discrete outer search over
+# emitter TOPOLOGY (scripts/topology_recon.py): ten fitted configurations
+# per scene demonstrated the floor for clear_light (every topology converges
+# to the base fit) and bought greenish_party a small real win — the
+# registered fit now carries a dim auxiliary emitter BEHIND the camera
+# (21.74 -> 21.49 at 512x384@2048).  Pooled MAD vs the goldens:
+# clear_light 15.6/255 (round 3: 22.47), greenish_party 21.5/255 (round 3:
 # 29.96).  Honest best-effort: the exact originals are likely not uniquely
 # identifiable from single clamped LDR images (docs/RECONSTRUCTION.md
 # quantifies the residual floor and what it would take to go lower).
@@ -321,14 +326,15 @@ _GREENISH_PARTY_FIT = {
     "camera": {"position": [0, 0, 1.55], "look_at": [0, 0, -0.4], "up": [0, 1, 0], "vfov": 0.46, "aperture": 0.05, "focus_distance": 1.95, "origin_advance": 0.0},
     "background": [[0.0, 0.0, 0.0], [0.0, 0.0, 0.0]],
     "spheres": [
-        {"radius": 1000000.0, "center": [-1000000.4, 0, -1.0], "emission": [0.0, 0.0, 0.0], "albedo": [0.288, 0.19584, 0.08064], "material": "diffuse"},
-        {"radius": 1000000.0, "center": [1000000.4, 0, -1.0], "emission": [0.0, 0.0, 0.0], "albedo": [0.11836, 0.154944, 0.18292], "material": "diffuse"},
-        {"radius": 1000000.0, "center": [0, 0, -1000001.0], "emission": [0.0, 0.0, 0.0], "albedo": [0.3454, 0.628, 0.314], "material": "diffuse"},
-        {"radius": 1000000.0, "center": [0, 1000000.4, -1.0], "emission": [0.53508, 1.07016, 0.374556], "albedo": [0.7644, 1.5288, 0.53508], "material": "diffuse"},
-        {"radius": 1000000.0, "center": [0, -1000000.4, -1.0], "emission": [0.0, 0.0, 0.0], "albedo": [0.09, 0.12, 0.093], "material": "diffuse"},
+        {"radius": 1000000.0, "center": [-1000000.4, 0.0, -1.0], "emission": [0.0, 0.0, 0.0], "albedo": [0.288, 0.19584, 0.08064], "material": "diffuse"},
+        {"radius": 1000000.0, "center": [1000000.4, 0.0, -1.0], "emission": [0.0, 0.0, 0.0], "albedo": [0.11836, 0.154944, 0.18292], "material": "diffuse"},
+        {"radius": 1000000.0, "center": [0.0, 0.0, -1000001.0], "emission": [0.0, 0.0, 0.0], "albedo": [0.3454, 0.628, 0.314], "material": "diffuse"},
+        {"radius": 1000000.0, "center": [0.0, 1000000.4, -1.0], "emission": [0.51408, 1.02816, 0.359856], "albedo": [0.7344, 1.4688, 0.51408], "material": "diffuse"},
+        {"radius": 1000000.0, "center": [0.0, -1000000.4, -1.0], "emission": [0.0, 0.0, 0.0], "albedo": [0.09, 0.12, 0.093], "material": "diffuse"},
         {"radius": 0.8, "center": [0.0, 1.15, -1.0], "emission": [8.1, 9.0, 7.56], "albedo": [1.8, 1.8, 1.8], "material": "diffuse"},
         {"radius": 0.1054, "center": [-0.18, -0.17, -0.518], "emission": [0, 0, 0], "albedo": [0.95, 0.95, 0.95], "material": "specular"},
         {"radius": 0.15, "center": [0.2, -0.224, -0.48], "emission": [0, 0, 0], "albedo": [1.0, 1.0, 1.0], "material": "dielectric"},
+        {"radius": 0.4, "center": [0.0, 0.2, 2.4], "emission": [0.76, 0.76, 0.76], "albedo": [1.8, 1.8, 1.8], "material": "diffuse"},
     ],
 }
 
