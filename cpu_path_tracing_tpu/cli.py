@@ -316,12 +316,14 @@ def cmd_invert(args) -> int:
             make_mesh(n_tiles, n_samples), scene, cfg, optimizer,
             cell_chunk=args.cell_chunk, sample_chunk=args.sample_chunk,
             compact=not args.no_compact_backward,
+            replay=not args.no_replay_backward,
         )
     else:
         step_fn = make_accum_train_step(
             scene, cfg, optimizer, cell_chunk=args.cell_chunk,
             sample_chunk=args.sample_chunk,
             compact=not args.no_compact_backward,
+            replay=not args.no_replay_backward,
         )
     save_every = args.save_every or max(1, args.steps // 10)
     t0 = time.perf_counter()
@@ -731,6 +733,10 @@ def main(argv=None) -> int:
     pi.add_argument("--no-compact-backward", action="store_true",
                     help="disable live-lane compaction in the backward scan "
                          "(grad.tune_backward_schedule)")
+    pi.add_argument("--no-replay-backward", action="store_true",
+                    help="disable the analytic wavefront-replay backward "
+                         "(ops/replay.py) and force the scan VJP even for "
+                         "replay-eligible fields")
     pi.add_argument("--checkpoint", default=None,
                     help="optimizer-state checkpoint path (.npz); resumes if present")
     pi.add_argument("--save-every", type=int, default=0,

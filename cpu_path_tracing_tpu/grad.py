@@ -450,9 +450,15 @@ def make_sharded_accum_train_step(mesh, scene: Scene, cfg: RenderConfig, optimiz
         # here would double-count (verified: /tmp probe, VERDICT r2 weak #6).
         return sq, grads
 
-    # vma checking stays on unless the fast forward resolves to the pallas
-    # megakernel (whose outputs carry no vma metadata).
-    vma = resolve_integrator(scene, cfg) != "pallas"
+    # vma checking stays on unless (a) the fast forward resolves to the
+    # pallas megakernel (whose outputs carry no vma metadata), or (b) the
+    # replay backward is active: its custom-vjp gradients are computed
+    # outside AD, so the vma checker cannot see the replication the
+    # pbroadcast transpose would otherwise provide — use the same
+    # explicit-collectives path (psum tiles + pmean samples; the pmean
+    # because the no-vma psum transpose scales the cotangent by n_samples,
+    # the round-2-verified pallas-branch semantics).
+    vma = resolve_integrator(scene, cfg) != "pallas" and not replay
     sharded_chunk = jax.jit(jax.shard_map(
         shard_fn,
         mesh=mesh,
