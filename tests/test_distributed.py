@@ -104,8 +104,10 @@ def test_killed_process_recovered_bit_identical(single_png, tmp_path):
         expect_rc={1: 3},
     )
     assert (tmp_path / "image.png").read_bytes() == single_png
-    # only process 0's shard ever hit the disk
-    assert sorted(os.listdir(shard_dir)) == ["shard_00000.npz"]
+    # only process 0's shard ever hit the disk, and process 0 broadcast the
+    # host-loss sentinel so other survivors (none here) would clean-exit
+    # (ADVICE r4: the >2-process abort fix).
+    assert sorted(os.listdir(shard_dir)) == ["LOST_HOSTS", "shard_00000.npz"]
 
 
 def test_assemble_recovers_deleted_shard(tmp_path):
