@@ -262,11 +262,14 @@ def make_diff_render_span(scene: Scene, cfg: RenderConfig, spp_span: int,
             # trip count, O(lanes) memory (ops/replay.py; measured round 5:
             # scan VJP 74 ms/sample at production shape vs ~4 ms replay,
             # PERF.md §8).  sample_chunk is irrelevant here (no activation
-            # memory to bound).
-            from .ops.replay import replay_param_grads_wavefront
+            # memory to bound).  On TPU the eligibility-gated dispatch runs
+            # the whole replay inside one Pallas kernel
+            # (ops/pallas/replay_kernel.py — the backward twin of the
+            # forward persistent megakernel).
+            from .ops.replay import replay_param_grads_auto
 
             sc = merge_params(scene, params)
-            g = replay_param_grads_wavefront(
+            g = replay_param_grads_auto(
                 sc, bwd_cfg, cell_ids, sample_start, spp_span, ct)
             g = {k: g[k].astype(params[k].dtype) for k in params}
             return (

@@ -133,7 +133,7 @@ def _sqrt_safe(x):
 
 def make_step_math(cfg: RenderConfig, *, n_spheres: int, n_cells: int,
                    n_items: int, n_gens: int, stride: int, ring_depth: int,
-                   ior: float = 2.0):
+                   ior: float = 2.0, with_aux: bool = False):
     """One fused wavefront iteration as pure array math over the SoA state
     dict: regeneration (queue pop + camera raygen) -> bounce RNG -> unrolled
     intersect -> shade -> alive/result update.  Shared verbatim by the
@@ -148,7 +148,15 @@ def make_step_math(cfg: RenderConfig, *, n_spheres: int, n_cells: int,
 
     Returns ``step(s, table_ref, cam_ref, cell_start, sample_start, g_flush,
     lane_global) -> (s', was_alive, finished)``.
-    """
+
+    ``with_aux`` additionally returns the per-lane bounce internals the
+    analytic replay backward consumes (the kernel twin of
+    ops/integrator.bounce_step's ``with_aux`` — replay_kernel.py): the
+    regeneration mask, selected-sphere index, hit/miss flags, pre-bounce
+    throughput, this bounce's emission pickup, the sky value/lerp-t and the
+    Russian-roulette survival indicator.  All are values this step already
+    computes (plus one index-select per sphere in the intersect unroll), and
+    the flag defaults off so the forward kernels trace unchanged."""
     K = ring_depth
     B = stride
     W, H, ns = cfg.width, cfg.height, cfg.num_subpixels
@@ -226,6 +234,8 @@ def make_step_math(cfg: RenderConfig, *, n_spheres: int, n_cells: int,
         s["k0"] = merge(real, a0, s["k0"])
         s["k1"] = merge(real, a1, s["k1"])
         was_alive = alive | real
+        # Post-regeneration, pre-bounce throughput (the replay's thr_pre).
+        th_pre = (s["thx"], s["thy"], s["thz"])
 
         # ---------------- bounce uniforms (ops/rng.py layout) ---------------
         purpose = jax.lax.bitcast_convert_type(s["depth"] + 1, jnp.uint32)
@@ -255,6 +265,7 @@ def make_step_math(cfg: RenderConfig, *, n_spheres: int, n_cells: int,
         t_best = jnp.full_like(ox, _INF)
         # selected sphere properties (10 columns: table 7..16)
         sel = [jnp.zeros_like(ox) for _ in range(10)]
+        sidx = jnp.zeros_like(s["depth"])  # selected sphere index (aux mode)
         for j in range(N):
             p0x, p0y, p0z = table_ref[j, 0], table_ref[j, 1], table_ref[j, 2]
             adx, ady, adz = table_ref[j, 3], table_ref[j, 4], table_ref[j, 5]
@@ -285,6 +296,8 @@ def make_step_math(cfg: RenderConfig, *, n_spheres: int, n_cells: int,
             t_best = jnp.where(better, root, t_best)
             for c in range(10):
                 sel[c] = jnp.where(better, table_ref[j, 7 + c], sel[c])
+            if with_aux:
+                sidx = jnp.where(better, j, sidx)
         hit = t_best < _INF
 
         (cx_, cy_, cz_, ehx, ehy, ehz, alx, aly, alz, mcode) = sel
@@ -431,6 +444,14 @@ def make_step_math(cfg: RenderConfig, *, n_spheres: int, n_cells: int,
         s["alive"] = alive_new.astype(jnp.int32)
 
         finished = was_alive & ~alive_new
+        if with_aux:
+            aux = {
+                "real": real, "hit": hit, "sidx": sidx, "die_miss": die_miss,
+                "sky": (skyx, skyy, skyz), "sky_t": sky_t,
+                "eh": (ehx, ehy, ehz), "thr_pre": th_pre,
+                "cont": cont, "rr_scaled": do_rr & survive,
+            }
+            return s, was_alive, finished, aux
         return s, was_alive, finished
 
     return step

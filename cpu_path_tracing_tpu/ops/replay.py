@@ -50,6 +50,40 @@ from . import rng as rng_ops
 from .integrator import bounce_step, init_state
 
 
+def assemble_albedo_grad(albedo, cq, rr_w):
+    """Final albedo-gradient assembly from the two raw replay contractions:
+    ``cq[m,c] = sum_k cnt_k[m] * q_k[c]`` and ``rr_w[m] = sum_k cnt_rr_k[m]
+    * sum_c q_k[c]`` (module docstring identity).  The guarded 1/albedo,
+    1/p and jax-even tie-split forms are shared with the in-loop XLA
+    accumulation above; the Pallas replay kernel defers them to this final
+    step (constant factors — algebraically identical, fp order differs)."""
+    p = jnp.max(albedo, axis=-1)
+    ties = jnp.sum(albedo == p[:, None], axis=-1).astype(albedo.dtype)
+    tiemask = (albedo == p[:, None]).astype(albedo.dtype) / ties[:, None]
+    inv_albedo = jnp.where(albedo > 0, 1.0 / jnp.where(albedo > 0, albedo, 1.0), 0.0)
+    inv_p = jnp.where(p > 0, 1.0 / jnp.where(p > 0, p, 1.0), 0.0)
+    return cq * inv_albedo - (rr_w * inv_p)[:, None] * tiemask
+
+
+def replay_param_grads_auto(scene: Scene, cfg: RenderConfig, cell_ids,
+                            sample_start, num_samples: int, ct):
+    """Backend-dispatched replay backward: the Pallas replay megakernel on
+    TPU when eligible (f32 scene, uniform jitter, N <= MAX_REPLAY_SPHERES —
+    ops/pallas/replay_kernel.py), else the XLA wavefront replay.  Both
+    compute the identical analytic gradients (same decisions, same uniforms)
+    up to fp summation order."""
+    from .pallas.replay_kernel import MAX_REPLAY_SPHERES, replay_param_grads_pallas
+
+    if (jax.default_backend() == "tpu"
+            and scene.p0.dtype == jnp.float32
+            and cfg.jitter == "uniform"
+            and scene.num_spheres <= MAX_REPLAY_SPHERES):
+        return replay_param_grads_pallas(
+            scene, cfg, cell_ids, sample_start, num_samples, ct)
+    return replay_param_grads_wavefront(
+        scene, cfg, cell_ids, sample_start, num_samples, ct)
+
+
 def replay_param_grads(scene: Scene, cfg: RenderConfig, cell_ids,
                        sample_start, num_samples: int, ct):
     """Gradients of ``sum(ct * render_cells_range(scene, cfg, cell_ids,
