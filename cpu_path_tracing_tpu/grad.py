@@ -498,17 +498,23 @@ def make_sharded_accum_train_step(mesh, scene: Scene, cfg: RenderConfig, optimiz
     return step
 
 
+@partial(jax.jit, static_argnames=("cfg",))
+def _render_mean_chunk(scene: Scene, cfg: RenderConfig, cell_ids) -> jax.Array:
+    # Module-level jit (not a per-call lambda) so repeated render_target
+    # calls in one session hit the compile cache.
+    return render_cells_range(scene, cfg, cell_ids, 0, cfg.spp) / cfg.spp
+
+
 def render_target(scene: Scene, cfg: RenderConfig, cell_chunk: Optional[int] = None) -> jax.Array:
     """Fast-forward mean-radiance target [num_cells,3] for inverse rendering,
     rendered in cell chunks (bounds the wavefront item buffer)."""
     n = cfg.num_cells
     cc = min(cell_chunk or n, n)
     fwd_cfg = cfg.replace(loop="while")
-    run = jax.jit(lambda sc, ids: render_cells_range(sc, fwd_cfg, ids, 0, cfg.spp) / cfg.spp)
     outs = []
     for start in range(0, n, cc):
         ids = jnp.arange(start, min(start + cc, n), dtype=jnp.int32)
-        outs.append(run(scene, ids))
+        outs.append(_render_mean_chunk(scene, fwd_cfg, ids))
     return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
 
 

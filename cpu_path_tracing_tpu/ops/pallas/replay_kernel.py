@@ -304,6 +304,12 @@ def replay_param_grads_pallas(scene: Scene, cfg: RenderConfig, cell_ids,
         raise ValueError("the pallas replay backward is float32-only")
     interpret = interpret or jax.devices()[0].platform != "tpu"
     rows = rows or cfg.pallas_rows or 32
+    # Same deeper-ring default as the forward persistent kernel: the ct ring
+    # lives in VMEM, so K=16 buys regeneration lookahead for ~free (measured
+    # on the production invert chunk: 45.0 -> 33.2 ms going K=8 -> 16 at
+    # rows=32; K=24/32 and other row widths are all worse — see PERF.md §8).
+    if ring_depth is None and cfg.wavefront_ring is None:
+        ring_depth = 16
     K = ring_depth or cfg.wavefront_ring or 8
     N = scene.num_spheres
     n_cells = cell_ids.shape[0]

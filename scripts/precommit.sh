@@ -43,7 +43,15 @@ make -C native >/dev/null
 
 echo "== fast tests =="
 t0=$(date +%s)
-python -m pytest tests/ -q -m "not slow" -x
+# Two workers, whole files per worker (pytest-xdist when available): the
+# tier is dominated by a few compile-heavy files, so loadfile keeps their
+# session-scoped compile caches warm while the other worker drains the long
+# tail.  -x is incompatible with xdist scheduling; failures still fail.
+if python -c "import xdist" >/dev/null 2>&1; then
+    python -m pytest tests/ -q -m "not slow" -n 2 --dist loadfile
+else
+    python -m pytest tests/ -q -m "not slow" -x
+fi
 echo "fast tier took $(( $(date +%s) - t0 ))s"
 
 echo "precommit OK"

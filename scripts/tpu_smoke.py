@@ -209,6 +209,52 @@ def run(width: int, height: int, spp: int, out_path: str, state_path: str | None
                 json.dump(state, fh)
             os.replace(state_path + ".tmp", state_path)
 
+    # ---- replay-backward megakernel ON DEVICE (round 5) -------------------
+    # Two gates on the production backward (ops/pallas/replay_kernel.py):
+    #   (a) vs the XLA wavefront replay: within f32 summation-order noise
+    #       (measured ~2e-3..6e-3 of max; gate 2e-2 — decisions are shared,
+    #       only accumulation order differs);
+    #   (b) ring-depth invariance: K=8 vs K=16 gradients BITWISE equal (the
+    #       item->lane mapping fixes each lane's accumulation order; any
+    #       difference means the ct ring streamed a wrong slab).
+    replay_rec = state.get("replay")
+    if not (replay_rec and replay_rec.get("ok")):
+        from cpu_path_tracing_tpu.ops.replay import replay_param_grads_wavefront
+        from cpu_path_tracing_tpu.ops.pallas.replay_kernel import (
+            replay_param_grads_pallas)
+
+        rp_cfg = pt.RenderConfig(width=width, height=height, spp=spp,
+                                 max_depth=100)
+        rp_scene = pt.get_scene("box", width, height)
+        rp_ids = jnp.arange(rp_cfg.num_cells, dtype=jnp.int32)
+        rng = np.random.default_rng(7)
+        rp_ct = jnp.asarray(
+            rng.normal(0, 0.01, (rp_cfg.num_cells, 3))).astype(jnp.float32)
+        gk8 = replay_param_grads_pallas(rp_scene, rp_cfg, rp_ids, 0, spp,
+                                        rp_ct, ring_depth=8)
+        gk16 = replay_param_grads_pallas(rp_scene, rp_cfg, rp_ids, 0, spp,
+                                         rp_ct, ring_depth=16)
+        gx = replay_param_grads_wavefront(rp_scene, rp_cfg, rp_ids, 0, spp,
+                                          rp_ct)
+        replay_rec = {"ok": True, "fields": {}}
+        for k in ("albedo", "emission", "background"):
+            a8, a16, ax = (np.asarray(gk8[k]), np.asarray(gk16[k]),
+                           np.asarray(gx[k]))
+            rdev = float(np.abs(a16 - ax).max() / (np.abs(ax).max() + 1e-30))
+            bitwise = bool(np.array_equal(a8, a16))
+            ok = rdev < 2e-2 and bitwise
+            replay_rec["fields"][k] = {
+                "dev_vs_xla": rdev, "ring_bitwise": bitwise, "ok": ok}
+            replay_rec["ok"] = replay_rec["ok"] and ok
+            print(f"replay kernel {k}: dev_vs_xla={rdev:.2e} "
+                  f"ring8==ring16 bitwise={bitwise}", flush=True)
+        failures += 0 if replay_rec["ok"] else 1
+        if state_path:
+            state["replay"] = replay_rec
+            with open(state_path + ".tmp", "w") as fh:
+                json.dump(state, fh)
+            os.replace(state_path + ".tmp", state_path)
+
     lines = [
         f"# TPU on-device parity smoke — {dev.device_kind} ({dev.platform})",
         "",
@@ -241,6 +287,15 @@ def run(width: int, height: int, spp: int, out_path: str, state_path: str | None
     lines.append(
         f"Sharded persistent kernel on device (shard_map over the real chip, "
         f"box @ max_depth 100, vs unsharded kernel): {meshes}.")
+    lines.append("")
+    rp = ", ".join(
+        f"{k}: dev {v['dev_vs_xla']:.1e} / ring-bitwise "
+        f"{'yes' if v['ring_bitwise'] else 'NO'}"
+        for k, v in replay_rec["fields"].items())
+    lines.append(
+        f"Replay-backward megakernel on device (box @ max_depth 100, vs XLA "
+        f"wavefront replay, gate 2e-2 + K=8/16 bitwise invariance): {rp} "
+        f"-> {'ok' if replay_rec['ok'] else 'FAIL'}.")
     lines.append("")
     with open(out_path, "w") as fh:
         fh.write("\n".join(lines))

@@ -123,7 +123,7 @@ def test_replay_kernel_single_generation():
     ids = jnp.arange(cfg.num_cells, dtype=jnp.int32)
     ct = _ct(cfg)
     gk = replay_param_grads_pallas(scene, cfg, ids, 0, cfg.spp, ct,
-                                   rows=8, interpret=True)
+                                   rows=8, ring_depth=8, interpret=True)
     _check(gk, scene, cfg, ids, ct, lanes=1024, ring=8)
 
 
@@ -154,7 +154,7 @@ def test_replay_kernel_zero_albedo_deviation():
     ids = jnp.arange(cfg.num_cells, dtype=jnp.int32)
     ct = jnp.ones((cfg.num_cells, 3), jnp.float32)
     g = replay_param_grads_pallas(scene, cfg, ids, 0, cfg.spp, ct,
-                                  rows=8, interpret=True)
+                                  rows=8, ring_depth=8, interpret=True)
     ga = np.asarray(g["albedo"])
     assert np.isfinite(ga).all()
     assert np.all(ga[np.asarray(scene.albedo) == 0.0] == 0.0)
