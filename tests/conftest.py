@@ -21,6 +21,14 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
+# Persistent XLA compilation cache: the fast tier is compile-bound (pallas
+# interpret kernels, f64 AD scans), and entries are keyed by HLO hash, so
+# warm `scripts/precommit.sh` runs skip straight to execution.  Shared
+# across xdist workers; safe to delete at any time.
+_cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 import jax.numpy as jnp  # noqa: E402
 import pytest  # noqa: E402
 

@@ -35,7 +35,9 @@ def _perturbed(name, cfg, seed=0):
 
 @pytest.mark.parametrize("name", ["box", "simple"])
 def test_replay_matches_autodiff(name):
-    cfg = pt.RenderConfig(width=10, height=8, spp=2, max_depth=20,
+    # max_depth 14: well past rr_depth (4) so the roulette log-derivative
+    # term is exercised; the AD scan compile scales with depth.
+    cfg = pt.RenderConfig(width=10, height=8, spp=2, max_depth=14,
                           loop="scan", integrator="batch")
     scene = _perturbed(name, cfg)
     ids = jnp.arange(cfg.num_cells, dtype=jnp.int32)

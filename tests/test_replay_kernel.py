@@ -57,12 +57,39 @@ def _ct(cfg, seed=1):
 
 def _f64_accum_grads(scene, cfg, cell_ids, ct):
     """Shared-decision reference: f32 bounce math, f64 accumulators — the
-    replay algebra of ops/replay.py transcribed with exact summation."""
+    replay algebra of ops/replay.py transcribed with exact summation.
+    The per-depth body is jitted (one compile; eager dispatch of ~40
+    bounce graphs dominated the test otherwise)."""
+    import jax
+
     N = scene.num_spheres
     root_key = rng_ops.master_key(cfg.seed)
     kw = dict(rr_depth=cfg.rr_depth, epsilon=cfg.epsilon, inf=cfg.inf)
     sphere_ids = jnp.arange(N, dtype=jnp.int32)
     f64 = jnp.float64
+
+    @jax.jit
+    def depth_step(scene, st, keys, ct, depth, cnt, cnt_rr, ga_cq, ga_rr, ge, gbg):
+        u = rng_ops.bounce_uniforms(keys[0], keys[1], depth).astype(jnp.float32)
+        st, aux = bounce_step(scene, st, u, depth, with_aux=True, **kw)
+        onehot = ((aux["hid"][:, None] == sphere_ids[None, :])
+                  & aux["was_alive"][:, None] & aux["hit"][:, None]).astype(f64)
+        thr_ct = (ct * aux["thr_pre"]).astype(f64)
+        ge = ge + jnp.einsum("ln,lc->nc", onehot, thr_ct)
+        q = (thr_ct * aux["em_h"].astype(f64)) * onehot.sum(-1, keepdims=True)
+        q = q + jnp.where(aux["die_miss"][:, None],
+                          thr_ct * aux["sky"].astype(f64), 0.0)
+        ga_cq = ga_cq + jnp.einsum("ln,lc->nc", cnt, q)
+        ga_rr = ga_rr + jnp.einsum("ln,l->n", cnt_rr, jnp.sum(q, axis=-1))
+        mt = jnp.where(aux["die_miss"], aux["sky_t"].astype(f64), 0.0)
+        m1 = jnp.where(aux["die_miss"], 1.0 - aux["sky_t"].astype(f64), 0.0)
+        gbg = gbg.at[0].add(jnp.einsum("l,lc->c", m1, thr_ct))
+        gbg = gbg.at[1].add(jnp.einsum("l,lc->c", mt, thr_ct))
+        inc = onehot * aux["cont"][:, None].astype(f64)
+        cnt = cnt + inc
+        cnt_rr = cnt_rr + inc * aux["rr_scaled"][:, None].astype(f64)
+        return st, cnt, cnt_rr, ga_cq, ga_rr, ge, gbg
+
     ga_cq = jnp.zeros((N, 3), f64)
     ga_rr = jnp.zeros((N,), f64)
     ge = jnp.zeros((N, 3), f64)
@@ -73,24 +100,9 @@ def _f64_accum_grads(scene, cfg, cell_ids, ct):
         cnt = jnp.zeros((cell_ids.shape[0], N), f64)
         cnt_rr = jnp.zeros_like(cnt)
         for depth in range(cfg.max_depth):
-            u = rng_ops.bounce_uniforms(keys[0], keys[1], depth).astype(jnp.float32)
-            st, aux = bounce_step(scene, st, u, depth, with_aux=True, **kw)
-            onehot = ((aux["hid"][:, None] == sphere_ids[None, :])
-                      & aux["was_alive"][:, None] & aux["hit"][:, None]).astype(f64)
-            thr_ct = (ct * aux["thr_pre"]).astype(f64)
-            ge = ge + jnp.einsum("ln,lc->nc", onehot, thr_ct)
-            q = (thr_ct * aux["em_h"].astype(f64)) * onehot.sum(-1, keepdims=True)
-            q = q + jnp.where(aux["die_miss"][:, None],
-                              thr_ct * aux["sky"].astype(f64), 0.0)
-            ga_cq = ga_cq + jnp.einsum("ln,lc->nc", cnt, q)
-            ga_rr = ga_rr + jnp.einsum("ln,l->n", cnt_rr, jnp.sum(q, axis=-1))
-            mt = jnp.where(aux["die_miss"], aux["sky_t"].astype(f64), 0.0)
-            m1 = jnp.where(aux["die_miss"], 1.0 - aux["sky_t"].astype(f64), 0.0)
-            gbg = gbg.at[0].add(jnp.einsum("l,lc->c", m1, thr_ct))
-            gbg = gbg.at[1].add(jnp.einsum("l,lc->c", mt, thr_ct))
-            inc = onehot * aux["cont"][:, None].astype(f64)
-            cnt = cnt + inc
-            cnt_rr = cnt_rr + inc * aux["rr_scaled"][:, None].astype(f64)
+            st, cnt, cnt_rr, ga_cq, ga_rr, ge, gbg = depth_step(
+                scene, st, keys, ct, jnp.uint32(depth), cnt, cnt_rr,
+                ga_cq, ga_rr, ge, gbg)
     ga = assemble_albedo_grad(scene.albedo.astype(f64), ga_cq, ga_rr)
     return {"albedo": ga, "emission": ge, "background": gbg}
 
@@ -123,8 +135,8 @@ def test_replay_kernel_single_generation():
     ids = jnp.arange(cfg.num_cells, dtype=jnp.int32)
     ct = _ct(cfg)
     gk = replay_param_grads_pallas(scene, cfg, ids, 0, cfg.spp, ct,
-                                   rows=8, ring_depth=8, interpret=True)
-    _check(gk, scene, cfg, ids, ct, lanes=1024, ring=8)
+                                   rows=8, ring_depth=4, interpret=True)
+    _check(gk, scene, cfg, ids, ct, lanes=1024, ring=4)
 
 
 @pytest.mark.slow
@@ -148,13 +160,16 @@ def test_replay_kernel_zero_albedo_deviation():
     behavior: finite everywhere, exactly zero gradient on exactly-zero
     channels (ops/replay.py scope note)."""
     # Same static shapes as test_replay_kernel_single_generation so the
-    # jitted kernel is a cache hit (keeps the fast tier lean).
+    # jitted kernel is a cache hit (keeps the fast tier lean).  K=4 in the
+    # fast tier: the ring unroll dominates interpret-compile time (measured
+    # 28 s at K=8 vs 6 s at K=4); ring depth is schedule-only (bitwise
+    # gradient invariance pinned on device, scripts/tpu_smoke.py).
     cfg = pt.RenderConfig(width=10, height=8, spp=2, max_depth=20)
     scene = pt.get_scene("box", cfg.width, cfg.height, dtype=jnp.float32)
     ids = jnp.arange(cfg.num_cells, dtype=jnp.int32)
     ct = jnp.ones((cfg.num_cells, 3), jnp.float32)
     g = replay_param_grads_pallas(scene, cfg, ids, 0, cfg.spp, ct,
-                                  rows=8, ring_depth=8, interpret=True)
+                                  rows=8, ring_depth=4, interpret=True)
     ga = np.asarray(g["albedo"])
     assert np.isfinite(ga).all()
     assert np.all(ga[np.asarray(scene.albedo) == 0.0] == 0.0)

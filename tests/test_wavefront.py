@@ -125,16 +125,20 @@ def test_persistent_megakernel_matches_per_step():
     # in precommit; interpret-mode pallas cost ~ lanes x iters).
     # One bitwise scene here; the sky-scene tolerance case and the other
     # bitwise scenes stay in the slow tier (test_pallas_megakernel_matches_xla).
+    # K=4 throughout: the ring unroll dominates interpret-compile time and
+    # ring depth is schedule-only (test_persistent_rows_and_ring_invariance).
     cfg = pt.RenderConfig(width=12, height=8, spp=1, max_depth=8)
     for name, bitwise in (("box_mirror", True),):
         scene = pt.get_scene(name, 12, 8)
         ids = _cells(cfg)
-        ref = np.asarray(render_wavefront(scene, cfg, ids, 0, 1, lanes=1024))
+        ref = np.asarray(render_wavefront(scene, cfg, ids, 0, 1, lanes=1024,
+                                          ring_depth=4))
         per = np.asarray(
             render_wavefront_pallas(scene, cfg, ids, 0, 1, lanes=1024, rows=8,
-                                    interpret=True))
+                                    ring_depth=4, interpret=True))
         new, st = render_wavefront_pallas_persistent(
-            scene, cfg, ids, 0, 1, rows=8, interpret=True, with_stats=True)
+            scene, cfg, ids, 0, 1, rows=8, ring_depth=4, interpret=True,
+            with_stats=True)
         new = np.asarray(new)
         np.testing.assert_array_equal(new, per, err_msg=name)
         if bitwise:
