@@ -88,6 +88,13 @@ class RenderConfig:
     # lanes).  Small pools maximize generation count and minimize the drain
     # tail; 32 rows (4096 lanes) measured best on v5e across scenes.
     pallas_rows: int = 32
+    # Persistent-kernel loop unroll: bounce steps per while-loop iteration
+    # (1 or even).  >1 keeps lane state in registers across the sub-steps
+    # and amortizes the loop's fixed scalar cost; the watermark/flush
+    # schedule (every 2nd bounce) is preserved exactly, so results are
+    # BITWISE identical across settings.  2 measured +8% on the disco
+    # headline (1868 -> 2016 Mrays/s, v5e; 4 is flat vs 2 — PERF.md §7).
+    pallas_unroll: int = 2
     # Live-lane compaction schedule for the reverse-differentiable scan
     # (loop='scan' + integrator='batch' only): tuple of (n_steps,
     # capacity_fraction) stages covering max_depth, or None for the plain

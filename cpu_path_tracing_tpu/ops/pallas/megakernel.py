@@ -592,7 +592,8 @@ def megakernel_step(state: dict, ring: dict, table, cam, dyn, *, cfg: RenderConf
 
 def make_persistent_kernel(cfg: RenderConfig, *, n_spheres: int, n_cells: int,
                            n_items: int, n_gens: int, rows: int,
-                           ring_depth: int, ior: float = 2.0):
+                           ring_depth: int, ior: float = 2.0,
+                           unroll: int = 1):
     """Whole-render kernel: the wavefront ``while`` loop runs INSIDE the
     kernel with all lane state resident in VMEM scratch.
 
@@ -616,6 +617,8 @@ def make_persistent_kernel(cfg: RenderConfig, *, n_spheres: int, n_cells: int,
         lives in mutable scratch refs.
     """
     K = ring_depth
+    if unroll != 1 and unroll % 2:
+        raise ValueError("unroll must be 1 or even (flush-cadence invariant)")
     step = make_step_math(cfg, n_spheres=n_spheres, n_cells=n_cells,
                           n_items=n_items, n_gens=n_gens, stride=rows * LANE,
                           ring_depth=ring_depth, ior=ior)
@@ -651,45 +654,60 @@ def make_persistent_kernel(cfg: RenderConfig, *, n_spheres: int, n_cells: int,
         def body(carry):
             g_flush, nseg, iters = carry
             s = {n: state_scr[n][...] for n in STATE_NAMES}
-            s, was_alive, finished = step(s, table_ref, cam_ref, cell_start,
-                                          sample_start, g_flush, lane_local)
-            nseg = nseg + jnp.sum(was_alive.astype(jnp.int32), dtype=jnp.int32)
-            iters = iters + 1
+            # ``unroll`` bounce steps per while iteration (even, so the
+            # flush cadence below is unchanged).  The lane state stays in
+            # registers across the sub-steps — one scratch read + write per
+            # body instead of per bounce — and the loop's fixed scalar work
+            # (carry, cond, flush machinery) is amortized 1/unroll: the §7
+            # "residual fixed per-iteration cost" lever.  Results are
+            # BITWISE identical to unroll=1: per-item math never changes,
+            # and the watermark/flush schedule (every 2nd bounce, same
+            # g_flush visibility) is reproduced exactly.
+            for u in range(unroll):
+                s, was_alive, finished = step(s, table_ref, cam_ref, cell_start,
+                                              sample_start, g_flush, lane_local)
+                nseg = nseg + jnp.sum(was_alive.astype(jnp.int32), dtype=jnp.int32)
+                iters = iters + 1
 
-            # Retire finished results into the resident ring.
-            slot = s["gen"] % K
-            for k in range(K):
-                mk = finished & (slot == k)
-                ring_scr[k, 0] = ring_scr[k, 0] + jnp.where(mk, s["rsx"], 0.0)
-                ring_scr[k, 1] = ring_scr[k, 1] + jnp.where(mk, s["rsy"], 0.0)
-                ring_scr[k, 2] = ring_scr[k, 2] + jnp.where(mk, s["rsz"], 0.0)
+                # Retire finished results into the resident ring.
+                slot = s["gen"] % K
+                for k in range(K):
+                    mk = finished & (slot == k)
+                    ring_scr[k, 0] = ring_scr[k, 0] + jnp.where(mk, s["rsx"], 0.0)
+                    ring_scr[k, 1] = ring_scr[k, 1] + jnp.where(mk, s["rsy"], 0.0)
+                    ring_scr[k, 2] = ring_scr[k, 2] + jnp.where(mk, s["rsz"], 0.0)
+
+                if u % 2 == 0 and unroll > 1:
+                    continue  # watermark checked after every 2nd bounce only
+
+                # Watermark: generations every lane has fully passed.
+                # Checked only every 2nd bounce: a generation completes
+                # every ~E[depth] bounces, so a one-step flush delay costs
+                # at most a slightly earlier K-stall while halving the
+                # min-reduce + flush-machinery overhead (bitwise-safe:
+                # flush timing never changes per-item results, only the
+                # schedule).
+                check = (iters % 2) == 0 if unroll == 1 else True
+                low = jnp.where(s["alive"] != 0, s["gen"] - 1, s["gen"])
+                watermark = jnp.min(low)
+                do_flush = check & (g_flush <= watermark)
+
+                @pl.when(do_flush)
+                def _flush(g_flush=g_flush):
+                    fslot = g_flush % K
+                    dma = pltpu.make_async_copy(
+                        ring_scr.at[fslot], out_ref.at[g_flush], sem)
+                    dma.start()
+                    dma.wait()
+                    for k in range(K):
+                        @pl.when(fslot == k)
+                        def _clear(k=k):
+                            ring_scr[k] = jnp.zeros((3, rows, LANE), jnp.float32)
+
+                g_flush = g_flush + do_flush.astype(jnp.int32)
+
             for n in STATE_NAMES:
                 state_scr[n][...] = s[n]
-
-            # Watermark: generations every lane has fully passed.  Checked
-            # only every 2nd iteration: a generation completes every
-            # ~E[depth] iterations, so a one-iteration flush delay costs at
-            # most a slightly earlier K-stall while halving the min-reduce +
-            # flush-machinery overhead (bitwise-safe: flush timing never
-            # changes per-item results, only the schedule).
-            check = (iters % 2) == 0
-            low = jnp.where(s["alive"] != 0, s["gen"] - 1, s["gen"])
-            watermark = jnp.min(low)
-            do_flush = check & (g_flush <= watermark)
-
-            @pl.when(do_flush)
-            def _flush():
-                fslot = g_flush % K
-                dma = pltpu.make_async_copy(
-                    ring_scr.at[fslot], out_ref.at[g_flush], sem)
-                dma.start()
-                dma.wait()
-                for k in range(K):
-                    @pl.when(fslot == k)
-                    def _clear(k=k):
-                        ring_scr[k] = jnp.zeros((3, rows, LANE), jnp.float32)
-
-            g_flush = g_flush + do_flush.astype(jnp.int32)
             return g_flush, nseg, iters
 
         zero = jnp.int32(0)
@@ -703,12 +721,12 @@ def make_persistent_kernel(cfg: RenderConfig, *, n_spheres: int, n_cells: int,
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "n_spheres", "n_cells", "n_items", "n_gens",
-                     "rows", "ring_depth", "interpret", "ior"),
+                     "rows", "ring_depth", "interpret", "ior", "unroll"),
 )
 def persistent_render(table, cam, dyn, *, cfg: RenderConfig, n_spheres: int,
                       n_cells: int, n_items: int, n_gens: int, rows: int,
                       ring_depth: int, interpret: bool = False,
-                      ior: float = 2.0):
+                      ior: float = 2.0, unroll: int = 1):
     """Run the whole wavefront render in one kernel launch.
 
     Args:
@@ -718,7 +736,8 @@ def persistent_render(table, cam, dyn, *, cfg: RenderConfig, n_spheres: int,
     """
     kernel = make_persistent_kernel(
         cfg, n_spheres=n_spheres, n_cells=n_cells, n_items=n_items,
-        n_gens=n_gens, rows=rows, ring_depth=ring_depth, ior=ior)
+        n_gens=n_gens, rows=rows, ring_depth=ring_depth, ior=ior,
+        unroll=unroll)
 
     out, nseg, iters = pl.pallas_call(
         kernel,

@@ -70,7 +70,7 @@ MAX_REPLAY_SPHERES = 40
 
 def make_replay_kernel(cfg: RenderConfig, *, n_spheres: int, n_cells: int,
                        n_items: int, n_gens: int, rows: int, ring_depth: int,
-                       ior: float = 2.0):
+                       ior: float = 2.0, unroll: int = 1):
     """Whole-backward kernel: forward wavefront + analytic accumulation.
 
     Outputs the (7N+6, rows, 128) gradient-partial block laid out as
@@ -83,6 +83,8 @@ def make_replay_kernel(cfg: RenderConfig, *, n_spheres: int, n_cells: int,
     K = ring_depth
     N = n_spheres
     M = 7 * N + 6
+    if unroll != 1 and unroll % 2:
+        raise ValueError("unroll must be 1 or even (flush-cadence invariant)")
     step = make_step_math(cfg, n_spheres=N, n_cells=n_cells, n_items=n_items,
                           n_gens=n_gens, stride=rows * LANE, ring_depth=K,
                           ior=ior, with_aux=True)
@@ -134,89 +136,99 @@ def make_replay_kernel(cfg: RenderConfig, *, n_spheres: int, n_cells: int,
         def body(carry):
             g_flush, nseg, iters = carry
             s = {n: state_scr[n][...] for n in STATE_NAMES}
-            s, was_alive, finished, aux = step(
-                s, table_ref, cam_ref, cell_start, sample_start, g_flush,
-                lane_local)
-            del finished  # no result ring: gradients, not radiance
-            nseg = nseg + jnp.sum(was_alive.astype(jnp.int32), dtype=jnp.int32)
-            iters = iters + 1
-
-            # ---- lane cotangent: K-way ring select on regeneration --------
-            real = aux["real"]
-            slot = s["gen"] % K  # regenerated lanes' NEW generation slot
             ctx, cty, ctz = ct_scr[0], ct_scr[1], ct_scr[2]
-            for k in range(K):
-                mk = real & (slot == k)
-                ctx = jnp.where(mk, ring_scr[k, 0], ctx)
-                cty = jnp.where(mk, ring_scr[k, 1], cty)
-                ctz = jnp.where(mk, ring_scr[k, 2], ctz)
+            # ``unroll`` bounce steps per while iteration (even) — lane
+            # state and cotangent stay in registers across sub-steps and
+            # the loop's fixed scalar work amortizes, exactly like the
+            # forward persistent kernel (bitwise-invariant: per-item math
+            # and the every-2nd-bounce admission cadence are unchanged).
+            for u in range(unroll):
+                s, was_alive, finished, aux = step(
+                    s, table_ref, cam_ref, cell_start, sample_start, g_flush,
+                    lane_local)
+                del finished  # no result ring: gradients, not radiance
+                nseg = nseg + jnp.sum(was_alive.astype(jnp.int32), dtype=jnp.int32)
+                iters = iters + 1
 
-            # ---- per-bounce contribution (ops/replay.py algebra) ----------
-            tpx, tpy, tpz = aux["thr_pre"]
-            tcx, tcy, tcz = ctx * tpx, cty * tpy, ctz * tpz
-            hm = was_alive & aux["hit"]
-            hf = jnp.where(hm, 1.0, 0.0)
-            mf = jnp.where(aux["die_miss"], 1.0, 0.0)
-            skyx, skyy, skyz = aux["sky"]
-            ehx, ehy, ehz = aux["eh"]
-            # q = thr_ct * (emission pickup on a hit | sky on a miss)
-            qx = tcx * ehx * hf + mf * tcx * skyx
-            qy = tcy * ehy * hf + mf * tcy * skyy
-            qz = tcz * ehz * hf + mf * tcz * skyz
-            sq = qx + qy + qz
-            contf = jnp.where(aux["cont"], 1.0, 0.0)
-            rrf = jnp.where(aux["rr_scaled"], 1.0, 0.0)
+                # ---- lane cotangent: K-way ring select on regeneration ----
+                real = aux["real"]
+                slot = s["gen"] % K  # regenerated lanes' NEW generation slot
+                for k in range(K):
+                    mk = real & (slot == k)
+                    ctx = jnp.where(mk, ring_scr[k, 0], ctx)
+                    cty = jnp.where(mk, ring_scr[k, 1], cty)
+                    ctz = jnp.where(mk, ring_scr[k, 2], ctz)
 
-            for m in range(N):
-                # Counters reset on regeneration BEFORE use: a fresh path has
-                # an empty prefix (replay_param_grads_wavefront.regenerate).
-                cm = jnp.where(real, 0.0, cnt_scr[m])
-                rm = jnp.where(real, 0.0, crr_scr[m])
-                ohf = jnp.where(hm & (aux["sidx"] == m), 1.0, 0.0)
-                # emission: dL/de[m] += onehot * thr_ct
-                acc_scr[4 * N + 3 * m + 0] = acc_scr[4 * N + 3 * m + 0] + ohf * tcx
-                acc_scr[4 * N + 3 * m + 1] = acc_scr[4 * N + 3 * m + 1] + ohf * tcy
-                acc_scr[4 * N + 3 * m + 2] = acc_scr[4 * N + 3 * m + 2] + ohf * tcz
-                # albedo numerator: cnt * q
-                acc_scr[3 * m + 0] = acc_scr[3 * m + 0] + cm * qx
-                acc_scr[3 * m + 1] = acc_scr[3 * m + 1] + cm * qy
-                acc_scr[3 * m + 2] = acc_scr[3 * m + 2] + cm * qz
-                # roulette weight: cnt_rr * sum(q)
-                acc_scr[3 * N + m] = acc_scr[3 * N + m] + rm * sq
-                inc = ohf * contf
-                cnt_scr[m] = cm + inc
-                crr_scr[m] = rm + inc * rrf
+                # ---- per-bounce contribution (ops/replay.py algebra) ------
+                tpx, tpy, tpz = aux["thr_pre"]
+                tcx, tcy, tcz = ctx * tpx, cty * tpy, ctz * tpz
+                hm = was_alive & aux["hit"]
+                hf = jnp.where(hm, 1.0, 0.0)
+                mf = jnp.where(aux["die_miss"], 1.0, 0.0)
+                skyx, skyy, skyz = aux["sky"]
+                ehx, ehy, ehz = aux["eh"]
+                # q = thr_ct * (emission pickup on a hit | sky on a miss)
+                qx = tcx * ehx * hf + mf * tcx * skyx
+                qy = tcy * ehy * hf + mf * tcy * skyy
+                qz = tcz * ehz * hf + mf * tcz * skyz
+                sq = qx + qy + qz
+                contf = jnp.where(aux["cont"], 1.0, 0.0)
+                rrf = jnp.where(aux["rr_scaled"], 1.0, 0.0)
 
-            w1 = mf * (1.0 - aux["sky_t"])
-            wt = mf * aux["sky_t"]
-            acc_scr[7 * N + 0] = acc_scr[7 * N + 0] + w1 * tcx
-            acc_scr[7 * N + 1] = acc_scr[7 * N + 1] + w1 * tcy
-            acc_scr[7 * N + 2] = acc_scr[7 * N + 2] + w1 * tcz
-            acc_scr[7 * N + 3] = acc_scr[7 * N + 3] + wt * tcx
-            acc_scr[7 * N + 4] = acc_scr[7 * N + 4] + wt * tcy
-            acc_scr[7 * N + 5] = acc_scr[7 * N + 5] + wt * tcz
+                for m in range(N):
+                    # Counters reset on regeneration BEFORE use: a fresh
+                    # path has an empty prefix
+                    # (replay_param_grads_wavefront.regenerate).
+                    cm = jnp.where(real, 0.0, cnt_scr[m])
+                    rm = jnp.where(real, 0.0, crr_scr[m])
+                    ohf = jnp.where(hm & (aux["sidx"] == m), 1.0, 0.0)
+                    # emission: dL/de[m] += onehot * thr_ct
+                    acc_scr[4 * N + 3 * m + 0] = acc_scr[4 * N + 3 * m + 0] + ohf * tcx
+                    acc_scr[4 * N + 3 * m + 1] = acc_scr[4 * N + 3 * m + 1] + ohf * tcy
+                    acc_scr[4 * N + 3 * m + 2] = acc_scr[4 * N + 3 * m + 2] + ohf * tcz
+                    # albedo numerator: cnt * q
+                    acc_scr[3 * m + 0] = acc_scr[3 * m + 0] + cm * qx
+                    acc_scr[3 * m + 1] = acc_scr[3 * m + 1] + cm * qy
+                    acc_scr[3 * m + 2] = acc_scr[3 * m + 2] + cm * qz
+                    # roulette weight: cnt_rr * sum(q)
+                    acc_scr[3 * N + m] = acc_scr[3 * N + m] + rm * sq
+                    inc = ohf * contf
+                    cnt_scr[m] = cm + inc
+                    crr_scr[m] = rm + inc * rrf
+
+                w1 = mf * (1.0 - aux["sky_t"])
+                wt = mf * aux["sky_t"]
+                acc_scr[7 * N + 0] = acc_scr[7 * N + 0] + w1 * tcx
+                acc_scr[7 * N + 1] = acc_scr[7 * N + 1] + w1 * tcy
+                acc_scr[7 * N + 2] = acc_scr[7 * N + 2] + w1 * tcz
+                acc_scr[7 * N + 3] = acc_scr[7 * N + 3] + wt * tcx
+                acc_scr[7 * N + 4] = acc_scr[7 * N + 4] + wt * tcy
+                acc_scr[7 * N + 5] = acc_scr[7 * N + 5] + wt * tcz
+
+                if u % 2 == 0 and unroll > 1:
+                    continue  # admission cadence: after every 2nd bounce
+
+                # ---- watermark + ct-ring admission (forward cadence) ------
+                check = (iters % 2) == 0 if unroll == 1 else True
+                low = jnp.where(s["alive"] != 0, s["gen"] - 1, s["gen"])
+                watermark = jnp.min(low)
+                do_flush = check & (g_flush <= watermark)
+
+                @pl.when(do_flush)
+                def _admit(g_flush=g_flush):
+                    top = jnp.minimum(g_flush + K, n_gens - 1)
+                    dma = pltpu.make_async_copy(
+                        ct_hbm.at[top], ring_scr.at[top % K], sem)
+                    dma.start()
+                    dma.wait()
+
+                g_flush = g_flush + do_flush.astype(jnp.int32)
 
             ct_scr[0] = ctx
             ct_scr[1] = cty
             ct_scr[2] = ctz
             for n in STATE_NAMES:
                 state_scr[n][...] = s[n]
-
-            # ---- watermark + ct-ring admission (forward-kernel cadence) ----
-            check = (iters % 2) == 0
-            low = jnp.where(s["alive"] != 0, s["gen"] - 1, s["gen"])
-            watermark = jnp.min(low)
-            do_flush = check & (g_flush <= watermark)
-
-            @pl.when(do_flush)
-            def _admit():
-                top = jnp.minimum(g_flush + K, n_gens - 1)
-                dma = pltpu.make_async_copy(
-                    ct_hbm.at[top], ring_scr.at[top % K], sem)
-                dma.start()
-                dma.wait()
-
-            g_flush = g_flush + do_flush.astype(jnp.int32)
             return g_flush, nseg, iters
 
         zero = jnp.int32(0)
@@ -231,12 +243,12 @@ def make_replay_kernel(cfg: RenderConfig, *, n_spheres: int, n_cells: int,
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "n_spheres", "n_cells", "n_items", "n_gens",
-                     "rows", "ring_depth", "interpret", "ior"),
+                     "rows", "ring_depth", "interpret", "ior", "unroll"),
 )
 def replay_persistent(table, cam, dyn, ct_hbm, *, cfg: RenderConfig,
                       n_spheres: int, n_cells: int, n_items: int, n_gens: int,
                       rows: int, ring_depth: int, interpret: bool = False,
-                      ior: float = 2.0):
+                      ior: float = 2.0, unroll: int = 1):
     """Run the whole replay backward in one kernel launch.
 
     Args:
@@ -249,7 +261,7 @@ def replay_persistent(table, cam, dyn, ct_hbm, *, cfg: RenderConfig,
     M = 7 * N + 6
     kernel = make_replay_kernel(
         cfg, n_spheres=N, n_cells=n_cells, n_items=n_items, n_gens=n_gens,
-        rows=rows, ring_depth=ring_depth, ior=ior)
+        rows=rows, ring_depth=ring_depth, ior=ior, unroll=unroll)
 
     acc, nseg, iters = pl.pallas_call(
         kernel,
@@ -291,7 +303,8 @@ def replay_param_grads_pallas(scene: Scene, cfg: RenderConfig, cell_ids,
                               rows: int | None = None,
                               ring_depth: int | None = None,
                               interpret: bool = False,
-                              with_stats: bool = False):
+                              with_stats: bool = False,
+                              unroll: int | None = None):
     """Kernel-backed :func:`ops.replay.replay_param_grads_wavefront` —
     identical signature, contract and gradient semantics (up to fp summation
     order); the caller-facing entry for the eligibility-gated dispatch in
@@ -337,7 +350,8 @@ def replay_param_grads_pallas(scene: Scene, cfg: RenderConfig, cell_ids,
     acc, nseg, iters = replay_persistent(
         table, cam, dyn, ct_hbm, cfg=cfg, n_spheres=N, n_cells=n_cells,
         n_items=n_items, n_gens=n_gens, rows=rows, ring_depth=K,
-        interpret=interpret, ior=scene.ior)
+        interpret=interpret, ior=scene.ior,
+        unroll=unroll or cfg.pallas_unroll)
 
     part = jnp.sum(acc, axis=(1, 2))  # [7N+6]
     cq = part[: 3 * N].reshape(N, 3)

@@ -382,6 +382,7 @@ def render_wavefront_pallas_persistent(
     ring_depth: int | None = None,
     interpret: bool = False,
     with_stats: bool = False,
+    unroll: int | None = None,
 ):
     """Whole-render persistent megakernel: one pallas_call per launch.
 
@@ -431,6 +432,7 @@ def render_wavefront_pallas_persistent(
         table, cam, dyn, cfg=cfg, n_spheres=scene.num_spheres,
         n_cells=n_cells, n_items=n_items, n_gens=n_gens, rows=rows,
         ring_depth=K, interpret=interpret, ior=scene.ior,
+        unroll=unroll or cfg.pallas_unroll,
     )
     # out[g, c, row, lane]: flat index (g*Bt + row*128 + lane) IS the global
     # item index.  Reduce each component SEPARATELY and stack only the final

@@ -135,7 +135,7 @@ def test_replay_kernel_single_generation():
     ids = jnp.arange(cfg.num_cells, dtype=jnp.int32)
     ct = _ct(cfg)
     gk = replay_param_grads_pallas(scene, cfg, ids, 0, cfg.spp, ct,
-                                   rows=8, ring_depth=4, interpret=True)
+                                   rows=8, ring_depth=4, unroll=1, interpret=True)
     _check(gk, scene, cfg, ids, ct, lanes=1024, ring=4)
 
 
@@ -148,8 +148,8 @@ def test_replay_kernel_ring_admission():
     ids = jnp.arange(cfg.num_cells, dtype=jnp.int32)
     ct = _ct(cfg)
     gk, st = replay_param_grads_pallas(scene, cfg, ids, 0, cfg.spp, ct,
-                                       rows=8, ring_depth=4, interpret=True,
-                                       with_stats=True)
+                                       rows=8, ring_depth=4, unroll=2,
+                                       interpret=True, with_stats=True)
     assert cfg.num_cells * cfg.spp // (8 * 128) >= 8  # really multi-gen
     assert int(st["segments"]) > 0 and int(st["iters"]) > 0
     _check(gk, scene, cfg, ids, ct, lanes=1024, ring=4, tol=5e-3)
@@ -169,7 +169,7 @@ def test_replay_kernel_zero_albedo_deviation():
     ids = jnp.arange(cfg.num_cells, dtype=jnp.int32)
     ct = jnp.ones((cfg.num_cells, 3), jnp.float32)
     g = replay_param_grads_pallas(scene, cfg, ids, 0, cfg.spp, ct,
-                                  rows=8, ring_depth=4, interpret=True)
+                                  rows=8, ring_depth=4, unroll=1, interpret=True)
     ga = np.asarray(g["albedo"])
     assert np.isfinite(ga).all()
     assert np.all(ga[np.asarray(scene.albedo) == 0.0] == 0.0)

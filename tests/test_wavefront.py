@@ -136,9 +136,11 @@ def test_persistent_megakernel_matches_per_step():
         per = np.asarray(
             render_wavefront_pallas(scene, cfg, ids, 0, 1, lanes=1024, rows=8,
                                     ring_depth=4, interpret=True))
+        # unroll=1 for compile cost; unroll invariance is pinned in the
+        # slow tier (test_persistent_rows_and_ring_invariance).
         new, st = render_wavefront_pallas_persistent(
-            scene, cfg, ids, 0, 1, rows=8, ring_depth=4, interpret=True,
-            with_stats=True)
+            scene, cfg, ids, 0, 1, rows=8, ring_depth=4, unroll=1,
+            interpret=True, with_stats=True)
         new = np.asarray(new)
         np.testing.assert_array_equal(new, per, err_msg=name)
         if bitwise:
@@ -150,7 +152,9 @@ def test_persistent_megakernel_matches_per_step():
 
 @pytest.mark.slow
 def test_persistent_rows_and_ring_invariance():
-    """Pool height and ring depth are schedule knobs, not semantics."""
+    """Pool height, ring depth AND loop unroll are schedule knobs, not
+    semantics (the unroll case additionally pins the every-2nd-bounce flush
+    cadence reproduction, megakernel.py body docstring)."""
     from cpu_path_tracing_tpu.ops.wavefront import (
         render_wavefront_pallas_persistent,
     )
@@ -159,11 +163,13 @@ def test_persistent_rows_and_ring_invariance():
     scene = pt.get_scene("box", 12, 8)
     ids = _cells(cfg)
     ref = np.asarray(render_wavefront_pallas_persistent(
-        scene, cfg, ids, 0, 2, rows=8, interpret=True))
-    for rows, ring in ((16, 16), (8, 4)):
+        scene, cfg, ids, 0, 2, rows=8, unroll=1, interpret=True))
+    for rows, ring, unroll in ((16, 16, 1), (8, 4, 1), (8, 4, 2), (8, 8, 4)):
         out = np.asarray(render_wavefront_pallas_persistent(
-            scene, cfg, ids, 0, 2, rows=rows, ring_depth=ring, interpret=True))
-        np.testing.assert_array_equal(out, ref, err_msg=f"rows={rows} K={ring}")
+            scene, cfg, ids, 0, 2, rows=rows, ring_depth=ring, unroll=unroll,
+            interpret=True))
+        np.testing.assert_array_equal(
+            out, ref, err_msg=f"rows={rows} K={ring} unroll={unroll}")
 
 
 def test_pallas_integrator_dispatch(monkeypatch):
