@@ -26,7 +26,7 @@ compiles bitwise-identically under XLA and Mosaic (measured on v5e).
 Parity is enforced by interpret-mode tests (tests/test_wavefront.py;
 bitwise except sky-gradient miss lanes, whose fma grouping is
 compiler-context-dependent — see that test's docstring) and on the real
-chip by scripts/tpu_smoke.py (TPU_SMOKE.md, 11/11 scenes green):
+chip by scripts/tpu_smoke.py (TPU_SMOKE.md, 13/13 scenes green):
 full-depth (100-bounce) scale-aware deviation 0 to ~2e-6 across scenes
 (2.7e-4 on smallpt) — at-or-near bitwise agreement between this kernel
 and the XLA integrators on device, and EXACT equality between the
